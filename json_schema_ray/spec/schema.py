@@ -1,0 +1,198 @@
+"""Schema resource registry: preprocessing + ``$ref`` resolution.
+
+Plays the role of the reference's ``SchemasRegistry`` +
+``SchemaPreprocessor`` (``js/loaders/SchemasRegistry.java:27-470``,
+``js/loaders/SchemaPreprocessor.java:20-30, :153-233``): one pass over a
+raw schema document collects every ``$id`` (embedded resource), ``$anchor``,
+``$dynamicAnchor`` and ``$recursiveAnchor``, after which ``resolve()``
+turns any URI-reference into a concrete subschema node.  All resolution
+happens at **compile time** on the driver; compiled plans shipped to Ray
+workers contain no unresolved references (SURVEY.md §2.5).
+
+No network: external schemas must be pre-registered via ``register``
+(the analog of the reference's ``IExternalResolver`` /
+``SchemaBuilder.registerExternalSchema``, ``js/SchemaBuilder.java:228-285``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+from urllib.parse import unquote, urldefrag, urljoin, urlparse
+
+# keywords whose value is a single subschema
+_SINGLE_SCHEMA_KEYS = (
+    "additionalProperties",
+    "propertyNames",
+    "additionalItems",
+    "contains",
+    "if",
+    "then",
+    "else",
+    "not",
+    "unevaluatedProperties",
+    "unevaluatedItems",
+    "contentSchema",
+)
+# keywords whose value is a dict of subschemas
+_SCHEMA_MAP_KEYS = ("properties", "patternProperties", "$defs", "definitions", "dependentSchemas")
+# keywords whose value is a list of subschemas
+_SCHEMA_LIST_KEYS = ("allOf", "anyOf", "oneOf", "prefixItems")
+
+DEFAULT_BASE = "urn:jsr:root"
+
+
+def _join(base: str, ref: str) -> str:
+    """URI-reference resolution; handles ``urn:`` bases that urljoin can't."""
+    if ref.startswith("#"):
+        return urldefrag(base)[0] + ref
+    if urlparse(ref).scheme:
+        return ref
+    if base.startswith("urn:"):
+        return ref  # relative ref against an urn base: treat as opaque id
+    return urljoin(base, ref)
+
+
+def pointer_get(doc: Any, pointer: str) -> Any:
+    """RFC 6901 descent; raises KeyError on a missing path."""
+    node = doc
+    if pointer in ("", "/"):
+        return node if pointer == "" else pointer_get(doc, "/" + "")
+    for raw in pointer.split("/")[1:]:
+        tok = unquote(raw).replace("~1", "/").replace("~0", "~")
+        if isinstance(node, list):
+            node = node[int(tok)]
+        elif isinstance(node, dict):
+            node = node[tok]
+        else:
+            raise KeyError(f"cannot descend {tok!r} into {type(node)}")
+    return node
+
+
+class SchemaRegistry:
+    def __init__(self) -> None:
+        self.resources: dict[str, Any] = {}
+        self.anchors: dict[tuple[str, str], Any] = {}
+        self.dynamic_anchors: dict[tuple[str, str], Any] = {}
+        # resource uri -> outermost node carrying "$recursiveAnchor": true
+        self.recursive_anchors: dict[str, Any] = {}
+        # id(node) -> resource uri that node belongs to (for pointer descents
+        # crossing embedded-resource boundaries)
+        self._node_base: dict[int, str] = {}
+
+    # ----------------------------------------------------------- registration
+
+    def register(self, schema: Any, uri: str = DEFAULT_BASE) -> str:
+        """Preprocess + register one schema document; returns its canonical
+        base URI (the root ``$id`` if present, else ``uri``)."""
+        base = uri
+        if isinstance(schema, dict):
+            sid = schema.get("$id")
+            if isinstance(sid, str) and not sid.startswith("#"):
+                base = urldefrag(_join(uri, sid))[0]
+        self.resources.setdefault(base, schema)
+        if base != uri:
+            self.resources.setdefault(uri, schema)
+        self._walk(schema, base, is_root=True)
+        return base
+
+    def _walk(self, node: Any, base: str, is_root: bool = False) -> None:
+        if not isinstance(node, dict):
+            return
+        sid = node.get("$id")
+        if isinstance(sid, str) and not is_root:
+            if sid.startswith("#"):  # draft-07 anchor-form $id
+                self.anchors[(base, sid[1:])] = node
+            else:
+                base = urldefrag(_join(base, sid))[0]
+                self.resources.setdefault(base, node)
+        self._node_base[id(node)] = base
+        anchor = node.get("$anchor")
+        if isinstance(anchor, str):
+            self.anchors[(base, anchor)] = node
+        dyn = node.get("$dynamicAnchor")
+        if isinstance(dyn, str):
+            self.anchors.setdefault((base, dyn), node)
+            self.dynamic_anchors[(base, dyn)] = node
+        if node.get("$recursiveAnchor") is True:
+            self.recursive_anchors.setdefault(base, node)
+
+        for k in _SINGLE_SCHEMA_KEYS:
+            if k in node:
+                self._walk(node[k], base)
+        for k in _SCHEMA_MAP_KEYS:
+            v = node.get(k)
+            if isinstance(v, dict):
+                for sub in v.values():
+                    self._walk(sub, base)
+        for k in _SCHEMA_LIST_KEYS:
+            v = node.get(k)
+            if isinstance(v, list):
+                for sub in v:
+                    self._walk(sub, base)
+        items = node.get("items")
+        if isinstance(items, list):
+            for sub in items:
+                self._walk(sub, base)
+        else:
+            self._walk(items, base)
+        deps = node.get("dependencies")
+        if isinstance(deps, dict):
+            for sub in deps.values():
+                if isinstance(sub, (dict, bool)):
+                    self._walk(sub, base)
+
+    # ------------------------------------------------------------- resolution
+
+    def base_of(self, node: Any, fallback: str) -> str:
+        return self._node_base.get(id(node), fallback)
+
+    def resolve(self, ref: str, base: str) -> tuple[Any, str]:
+        """Resolve a URI-reference against ``base`` → ``(node, resource_uri)``.
+
+        Mirrors ``SchemasRegistry.resolveRef``
+        (``js/loaders/SchemasRegistry.java:227-298``) minus lazy remote
+        loading: unknown resources raise.
+        """
+        abs_uri = _join(base, ref)
+        doc_uri, frag = urldefrag(abs_uri)
+        frag = unquote(frag)
+        if doc_uri not in self.resources:
+            raise KeyError(f"unresolvable $ref {ref!r} (base {base!r}): no resource {doc_uri!r}")
+        doc = self.resources[doc_uri]
+        if not frag:
+            return doc, self.base_of(doc, doc_uri)
+        if frag.startswith("/"):
+            node = pointer_get(doc, frag)
+            return node, self.base_of(node, doc_uri)
+        key = (doc_uri, frag)
+        if key in self.anchors:
+            node = self.anchors[key]
+            return node, self.base_of(node, doc_uri)
+        raise KeyError(f"unresolvable anchor {frag!r} in resource {doc_uri!r}")
+
+    def resolve_dynamic(self, ref: str, base: str, scope: tuple[str, ...]) -> tuple[Any, str]:
+        """``$dynamicRef`` (2020-12): if the statically-resolved target is a
+        ``$dynamicAnchor``, rebind to the *outermost* dynamic scope entry
+        carrying the same dynamic anchor (``SchemasRegistry.java:183-224``);
+        otherwise behave exactly like ``$ref``."""
+        node, res_uri = self.resolve(ref, base)
+        frag = unquote(urldefrag(_join(base, ref))[1])
+        if frag and not frag.startswith("/"):
+            target_uri = urldefrag(_join(base, ref))[0]
+            if (target_uri, frag) in self.dynamic_anchors:
+                for uri in scope:  # outermost first
+                    cand = self.dynamic_anchors.get((uri, frag))
+                    if cand is not None:
+                        return cand, uri
+        return node, res_uri
+
+    def resolve_recursive(self, base: str, scope: tuple[str, ...]) -> tuple[Any, str]:
+        """``$recursiveRef: "#"`` (2019-09): if the current resource root has
+        ``$recursiveAnchor: true``, rebind to the outermost in-scope resource
+        that also does (``SchemasRegistry.java:155-180``)."""
+        if base in self.recursive_anchors:
+            for uri in scope:
+                cand = self.recursive_anchors.get(uri)
+                if cand is not None:
+                    return cand, uri
+        return self.resolve("#", base)
