@@ -1,0 +1,169 @@
+"""Vectorized-kernel tests: direct unit checks + automatic parity of the
+vector path against the dynamic evaluator over the conformance corpus
+(every group whose instances fit a typed Arrow column must produce
+identical verdicts on both paths)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from fractions import Fraction
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from json_schema_ray.kernels.dynamic import DynamicCompiler
+from json_schema_ray.kernels.vector import UnsupportedVector, compile_vector
+
+HERE = os.path.dirname(__file__)
+
+
+def _defrac(v):
+    if isinstance(v, Fraction):
+        return int(v) if v.denominator == 1 else float(v)
+    if isinstance(v, list):
+        return [_defrac(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _defrac(x) for k, x in v.items()}
+    return v
+
+
+# --------------------------------------------------------------- unit tests
+
+
+def test_scalar_kernels():
+    sch = {"type": "integer", "minimum": 3, "maximum": 10, "multipleOf": 2}
+    k = compile_vector(sch, pa.int64())
+    arr = pa.array([4, 8, 2, 11, 5, None])
+    assert k(arr).tolist() == [True, True, False, False, False, False]
+
+
+def test_string_kernels():
+    sch = {"type": "string", "minLength": 2, "pattern": "^a"}
+    k = compile_vector(sch, pa.string())
+    arr = pa.array(["ab", "a", "bb", None])
+    assert k(arr).tolist() == [True, False, False, False]
+
+
+def test_enum_numeric_insensitive():
+    k = compile_vector({"enum": [1, 2, 3]}, pa.float64())
+    assert k(pa.array([1.0, 2.5])).tolist() == [True, False]
+    k = compile_vector({"enum": [1, "x"]}, pa.string())
+    assert k(pa.array(["x", "1"])).tolist() == [True, False]
+    # bool/number firewall
+    k = compile_vector({"enum": [1]}, pa.bool_())
+    assert k(pa.array([True])).tolist() == [False]
+
+
+def test_format_kernels():
+    k = compile_vector({"format": "uuid"}, pa.string())
+    arr = pa.array(["2eb8aa08-aa98-11ea-b4aa-73b441d16380", "nope", None])
+    assert k(arr).tolist() == [True, False, True]  # null: format doesn't apply
+    k = compile_vector({"format": "date"}, pa.string())
+    assert k(pa.array(["2020-02-29", "2021-02-29", "x"])).tolist() == [True, False, False]
+    # python-fallback format (no regex/strptime kernel)
+    k = compile_vector({"format": "email"}, pa.string())
+    assert k(pa.array(["a@b.com", "nope"])).tolist() == [True, False]
+
+
+def test_list_kernels():
+    t = pa.list_(pa.int64())
+    k = compile_vector({"type": "array", "minItems": 1, "items": {"minimum": 0}}, t)
+    arr = pa.array([[1, 2], [], [-1], None], type=t)
+    assert k(arr).tolist() == [True, False, False, False]
+
+    k = compile_vector({"contains": {"minimum": 5}, "minContains": 2}, t)
+    arr = pa.array([[5, 6], [5], [1, 2]], type=t)
+    assert k(arr).tolist() == [True, False, False]
+
+    k = compile_vector({"uniqueItems": True}, t)
+    arr = pa.array([[1, 2], [1, 1], []], type=t)
+    assert k(arr).tolist() == [True, False, True]
+
+
+def test_struct_kernels():
+    t = pa.struct([("kind", pa.string()), ("n", pa.int64())])
+    sch = {"type": "object", "required": ["kind"], "properties": {"kind": {"enum": ["a", "b"]}, "n": {"minimum": 0}}}
+    k = compile_vector(sch, t)
+    arr = pa.array(
+        [{"kind": "a", "n": 1}, {"kind": "z", "n": 1}, {"kind": None, "n": 1}, {"kind": "b", "n": -1}],
+        type=t,
+    )
+    assert k(arr).tolist() == [True, False, False, False]
+
+
+def test_combinators():
+    k = compile_vector({"oneOf": [{"type": "integer"}, {"minimum": 2}]}, pa.float64())
+    # 1 -> float but integral... both int & >=2? 1.0: integer only; 2.5: minimum only; 3.0: both
+    assert k(pa.array([1.0, 2.5, 3.0, 1.5])).tolist() == [True, True, False, False]
+    k = compile_vector({"if": {"minimum": 0}, "then": {"multipleOf": 2}, "else": {"maximum": -5}}, pa.int64())
+    assert k(pa.array([4, 3, -7, -2])).tolist() == [True, False, True, False]
+
+
+def test_list_of_struct_spans_shape():
+    span_t = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    t = pa.list_(span_t)
+    sch = {"type": "array", "minItems": 1, "items": {"properties": {"kind": {"enum": ["text", "image", "audio", "video"]}}}}
+    k = compile_vector(sch, t)
+    rows = [
+        [{"kind": "text", "text": "hi", "media_ref": None, "offset": 0}],
+        [{"kind": "bogus", "text": None, "media_ref": None, "offset": 0}],
+        [],
+    ]
+    arr = pa.array(rows, type=t)
+    assert k(arr).tolist() == [True, False, False]
+
+
+# ------------------------------------------------- corpus parity (vector vs dynamic)
+
+
+def _corpus_groups():
+    out = []
+    for path in sorted(glob.glob(os.path.join(HERE, "conformance", "*.json"))):
+        with open(path) as f:
+            groups = json.load(f, parse_float=Fraction)
+        for grp in groups:
+            if grp.get("dialect", "2020-12") != "2020-12" or grp.get("content"):
+                continue
+            out.append(pytest.param(grp, id=f"{os.path.basename(path)}::{grp['description']}"))
+    return out
+
+
+@pytest.mark.parametrize("group", _corpus_groups())
+def test_vector_parity_with_dynamic(group):
+    """Wherever the instances of a conformance group fit a typed Arrow
+    column, the vector kernel must agree with the dynamic evaluator."""
+    compiler = DynamicCompiler(formats_assert=group.get("formats_assert", False))
+    dyn = compiler.compile(group["schema"])
+
+    # bucket instances by inferable Arrow type
+    buckets: dict[str, tuple[pa.DataType, list, list]] = {}
+    for case in group["tests"]:
+        data = _defrac(case["data"])
+        try:
+            t = pa.array([data]).type
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            continue
+        if pa.types.is_null(t):
+            continue
+        key = str(t)
+        buckets.setdefault(key, (t, [], []))
+        buckets[key][1].append(data)
+        buckets[key][2].append(dyn.is_valid(case["data"]))
+
+    checked = 0
+    sch = _defrac(group["schema"])
+    for t, vals, expect in buckets.values():
+        try:
+            kern = compile_vector(sch, t, formats_assert=group.get("formats_assert", False))
+            arr = pa.array(vals, type=t)
+        except (UnsupportedVector, pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            continue
+        got = kern(arr)
+        assert got.tolist() == expect, f"type {t}: vector {got.tolist()} != dynamic {expect} for {vals}"
+        checked += 1
+    # (groups where nothing fits a typed column are fine — dynamic-only)
