@@ -1,0 +1,247 @@
+"""Deterministic synthetic interleaved text+media document table.
+
+Shape per ``BASELINE.json`` ``input_hint`` / FIXTURES.md §1:
+
+    doc_id:        string           (unique; violation mode: duplicates)
+    spans:         list<struct<kind, text, media_ref, offset:int32>>
+    partition_id:  int32            (contiguous chunks; checkpoint unit)
+
+plus a ``media_catalog`` side table (FIXTURES.md §2) and a ground-truth
+dict naming every injected violation, so tests can assert exact
+violation rows.  Generation is numpy-vectorized (pool-based text,
+indexed media refs) — SF=0.1 (~600k docs) generates in seconds.
+
+Violation classes (rates independent, deterministic under ``seed``):
+``dup_doc_id, bad_kind, bad_media_ref_format, dangling_media_ref,
+null_text, offset_disorder, empty_spans``.  ``skew`` > 0 makes media_ref
+choice Zipf-distributed (hot keys exercise salted shuffles).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+KINDS = ("text", "image", "audio", "video")
+_WORDS = (
+    "the fast key order sort table scan merge part window small hash join "
+    "spark group query row data slow filter customer line batch value stream "
+    "agg column vector media span text image audio video token shard block"
+).split()
+
+DEFAULT_RATES = {
+    "dup_doc_id": 0.002,
+    "bad_kind": 0.002,
+    "bad_media_ref_format": 0.002,
+    "dangling_media_ref": 0.003,
+    "null_text": 0.002,
+    "offset_disorder": 0.002,
+    "empty_spans": 0.001,
+}
+
+
+@dataclass
+class GeneratedData:
+    documents: pa.Table
+    catalog: pa.Table
+    expected: dict = field(default_factory=dict)  # violation class -> sorted doc_ids
+
+
+def _make_text_pool(rng: np.random.RandomState, n: int = 4096) -> np.ndarray:
+    words = np.array(_WORDS)
+    lens = rng.randint(3, 12, size=n)
+    return np.array([" ".join(rng.choice(words, size=ln)) for ln in lens])
+
+
+def _media_uuid(i: int) -> str:
+    return str(uuid.UUID(int=(0x9E3779B97F4A7C15 * (i + 1)) & ((1 << 128) - 1)))
+
+
+def generate(
+    n_docs: int = 2000,
+    seed: int = 42,
+    rates: dict | None = None,
+    skew: float = 0.0,
+    n_parts: int = 8,
+    catalog_size: int | None = None,
+) -> GeneratedData:
+    rng = np.random.RandomState(seed)
+    rates = {**DEFAULT_RATES, **(rates or {})}
+
+    # ---------- catalog + media_ref pools -------------------------------
+    catalog_size = catalog_size or max(64, n_docs // 4)
+    n_dangling_pool = max(8, catalog_size // 10)
+    all_refs = np.array(
+        ["media://" + _media_uuid(i) for i in range(catalog_size + n_dangling_pool)]
+    )
+    catalog_refs = all_refs[:catalog_size]  # refs present in the catalog
+    dangling_refs = all_refs[catalog_size:]  # never in the catalog
+
+    cat_kinds = np.array(KINDS[1:])[rng.randint(0, 3, size=catalog_size)]
+    catalog = pa.table(
+        {
+            "media_ref": pa.array(catalog_refs),
+            "media_kind": pa.array(cat_kinds),
+            "bytes": pa.array(rng.randint(1, 10_000_000, size=catalog_size).astype(np.int64)),
+        }
+    )
+
+    # ---------- per-doc structure ---------------------------------------
+    doc_ids = np.array([f"doc-{seed}-{i:010d}" for i in range(n_docs)])
+    n_spans = 1 + rng.poisson(4, size=n_docs)
+
+    empty_idx = _pick(rng, n_docs, rates["empty_spans"])
+    n_spans[empty_idx] = 0
+
+    total = int(n_spans.sum())
+    doc_of_span = np.repeat(np.arange(n_docs), n_spans)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_spans, out=offsets[1:])
+
+    # kinds: 70% text, rest media
+    kind_idx = rng.choice(4, size=total, p=[0.7, 0.15, 0.1, 0.05])
+    kinds = np.array(KINDS)[kind_idx].astype(object)
+
+    # text for text spans, from pool
+    pool = _make_text_pool(rng)
+    texts = np.full(total, None, dtype=object)
+    tmask = kind_idx == 0
+    texts[tmask] = pool[rng.randint(0, len(pool), size=int(tmask.sum()))]
+
+    # media refs for media spans (zipf-skewed pick when requested)
+    refs = np.full(total, None, dtype=object)
+    mmask = ~tmask
+    n_media = int(mmask.sum())
+    if n_media:
+        if skew > 0:
+            ranks = rng.zipf(1.0 + skew, size=n_media) - 1
+            pick = np.minimum(ranks, catalog_size - 1)
+        else:
+            pick = rng.randint(0, catalog_size, size=n_media)
+        refs[mmask] = catalog_refs[pick]
+
+    # offsets strictly increasing within doc: per-span position index
+    span_offsets = (np.arange(total) - np.repeat(offsets[:-1], n_spans)).astype(np.int32)
+
+    # ---------- violation injection -------------------------------------
+    expected: dict[str, list[str]] = {}
+
+    dup_idx = _pick(rng, n_docs, rates["dup_doc_id"])
+    dup_idx = dup_idx[dup_idx > 0]
+    # drop adjacent picks so overwrites can't cancel each other out
+    if len(dup_idx) > 1:
+        dup_idx = dup_idx[np.concatenate([[True], np.diff(dup_idx) > 1])]
+    doc_ids[dup_idx] = doc_ids[dup_idx - 1]  # duplicate the previous doc's id
+    # ground truth from the FINAL id array: ids appearing more than once
+    uniq_ids, cnts = np.unique(doc_ids, return_counts=True)
+    expected["dup_doc_id"] = sorted(uniq_ids[cnts > 1])
+
+    bad_kind_docs = _pick_docs_with_spans(rng, n_spans, rates["bad_kind"])
+    for d in bad_kind_docs:
+        s = offsets[d] + rng.randint(0, n_spans[d])
+        kinds[s] = "bogus"
+    expected["bad_kind"] = sorted(doc_ids[bad_kind_docs])
+
+    bad_fmt_docs = _pick_docs_with_spans(rng, n_spans, rates["bad_media_ref_format"])
+    for d in bad_fmt_docs:
+        s = offsets[d] + rng.randint(0, n_spans[d])
+        kinds[s] = "image"
+        texts[s] = None
+        refs[s] = "media://not-a-valid-uuid"
+    expected["bad_media_ref_format"] = sorted(doc_ids[bad_fmt_docs])
+
+    dang_docs = _pick_docs_with_spans(rng, n_spans, rates["dangling_media_ref"])
+    for d in dang_docs:
+        s = offsets[d] + rng.randint(0, n_spans[d])
+        kinds[s] = "image"
+        texts[s] = None
+        refs[s] = dangling_refs[rng.randint(0, len(dangling_refs))]
+    expected["dangling_media_ref"] = sorted(doc_ids[dang_docs])
+
+    null_text_docs = _pick_docs_with_spans(rng, n_spans, rates["null_text"])
+    for d in null_text_docs:
+        s = offsets[d] + rng.randint(0, n_spans[d])
+        kinds[s] = "text"
+        texts[s] = None
+        refs[s] = None
+    expected["null_text"] = sorted(doc_ids[null_text_docs])
+
+    dis_docs = _pick_docs_with_spans(rng, n_spans, rates["offset_disorder"], min_spans=2)
+    for d in dis_docs:
+        s = offsets[d] + rng.randint(0, n_spans[d] - 1)
+        span_offsets[s], span_offsets[s + 1] = span_offsets[s + 1], span_offsets[s]
+    expected["offset_disorder"] = sorted(doc_ids[dis_docs])
+
+    expected["empty_spans"] = sorted(doc_ids[empty_idx])
+
+    # ---------- assemble Arrow table ------------------------------------
+    span_type = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+    flat = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds, type=pa.string()),
+            pa.array(texts, type=pa.string()),
+            pa.array(refs, type=pa.string()),
+            pa.array(span_offsets, type=pa.int32()),
+        ],
+        fields=list(span_type),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+    partition_id = (np.arange(n_docs) * n_parts // max(1, n_docs)).astype(np.int32)
+
+    documents = pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.string()),
+            "spans": spans,
+            "partition_id": pa.array(partition_id, type=pa.int32()),
+        }
+    )
+    return GeneratedData(documents, catalog, expected)
+
+
+def _pick(rng, n, rate) -> np.ndarray:
+    k = int(round(n * rate))
+    return np.sort(rng.choice(n, size=k, replace=False)) if k else np.array([], dtype=np.int64)
+
+
+def _pick_docs_with_spans(rng, n_spans, rate, min_spans=1) -> np.ndarray:
+    eligible = np.where(n_spans >= min_spans)[0]
+    k = int(round(len(n_spans) * rate))
+    if not k or not len(eligible):
+        return np.array([], dtype=np.int64)
+    return np.sort(rng.choice(eligible, size=min(k, len(eligible)), replace=False))
+
+
+def write_dataset(out_dir: str, data: GeneratedData, n_parts: int | None = None) -> dict:
+    """Write hive-partitioned documents (one directory per partition_id —
+    the checkpoint/resume unit), the catalog, and ground truth.  Returns
+    paths dict."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs_dir = os.path.join(out_dir, "documents")
+    pids = data.documents["partition_id"].to_numpy()
+    for pid in np.unique(pids):
+        part_dir = os.path.join(docs_dir, f"partition_id={pid}")
+        os.makedirs(part_dir, exist_ok=True)
+        mask = pa.array(pids == pid)
+        pq.write_table(
+            data.documents.filter(mask).drop(["partition_id"]),
+            os.path.join(part_dir, "part.parquet"),
+        )
+    cat_path = os.path.join(out_dir, "media_catalog.parquet")
+    pq.write_table(data.catalog, cat_path)
+    exp_path = os.path.join(out_dir, "expected_violations.json")
+    with open(exp_path, "w") as f:
+        json.dump(data.expected, f, indent=1, sort_keys=True)
+    return {"documents": docs_dir, "catalog": cat_path, "expected": exp_path}

@@ -1,0 +1,160 @@
+"""End-to-end flagship pipeline tests: golden synthetic interleaved table
+with seeded violations → exact violation rows, per-partition verdicts,
+uniqueness, sketches, drift, and checkpoint/resume (FIXTURES.md §1/§3/§6)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from json_schema_ray.sources.interleaved import generate, write_dataset
+
+
+@pytest.fixture(scope="module")
+def gen_dir(tmp_path_factory):
+    data = generate(n_docs=600, seed=42, n_parts=4)
+    out = str(tmp_path_factory.mktemp("interleaved"))
+    paths = write_dataset(out, data)
+    return data, paths, out
+
+
+def _violations_by_constraint(report):
+    import glob
+
+    out = {}
+    if report.violations_path and os.path.isdir(report.violations_path):
+        files = glob.glob(os.path.join(report.violations_path, "**", "*.parquet"), recursive=True)
+        if files:
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(report.violations_path, partitioning="hive").to_table()
+            df = tbl.to_pandas()
+            for cid, g in df.groupby("constraint_id"):
+                out[cid] = sorted(set(g["doc_id"]))
+    return out
+
+
+def test_generator_shape(gen_dir):
+    data, paths, out = gen_dir
+    assert data.documents.column_names == ["doc_id", "spans", "partition_id"]
+    st = data.documents.schema.field("spans").type
+    assert [f.name for f in st.value_type] == ["kind", "text", "media_ref", "offset"]
+    # deterministic: same seed → identical table
+    again = generate(n_docs=600, seed=42, n_parts=4)
+    assert again.documents.equals(data.documents)
+    assert again.expected == data.expected
+
+
+def test_full_pipeline_exact_violations(ray_session, gen_dir, tmp_path):
+    from json_schema_ray.pipelines.validation import run_validation
+
+    data, paths, out = gen_dir
+    report = run_validation(
+        paths["documents"],
+        catalog_path=paths["catalog"],
+        out_dir=str(tmp_path / "run1"),
+        concurrency=2,
+    )
+    got = _violations_by_constraint(report)
+    exp = data.expected
+
+    assert got.get("spans[].kind/enum", []) == exp["bad_kind"]
+    assert got.get("spans[].media_ref/format", []) == exp["bad_media_ref_format"]
+    assert got.get("spans[].media_ref/referential", []) == exp["dangling_media_ref"]
+    assert got.get("spans[].text/required", []) == exp["null_text"]
+    assert got.get("spans[].offset/order", []) == exp["offset_disorder"]
+    assert got.get("spans/minItems", []) == exp["empty_spans"]
+
+    # uniqueness: dataset-level duplicate count
+    vd = report.verdicts.to_pandas()
+    assert (vd["n_dup_doc_ids"] > 0).all() == (len(exp["dup_doc_id"]) > 0)
+    assert vd["n_dup_doc_ids"].iloc[0] == len(exp["dup_doc_id"])
+
+    # per-partition verdicts: partitions with no expected bad docs pass
+    docs = data.documents.to_pandas()
+    bad_ids = set().union(*[set(v) for v in exp.values()])
+    docs["bad"] = docs["doc_id"].isin(bad_ids - set(exp["dup_doc_id"]))
+    per_part_bad = docs.groupby("partition_id")["bad"].sum()
+    for _, row in vd.iterrows():
+        assert row["n_bad_docs"] == per_part_bad.get(row["partition_id"], 0)
+        assert row["n_docs"] == (docs["partition_id"] == row["partition_id"]).sum()
+
+    # HLL cardinality ≈ exact distinct doc_id
+    from json_schema_ray.state.hll import HyperLogLog
+
+    kind, blob = report.profile["doc_id"]
+    assert kind == "hll"
+    est = HyperLogLog.from_bytes(blob).estimate()
+    exact = docs["doc_id"].nunique()
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_clean_data_all_pass(ray_session, tmp_path):
+    from json_schema_ray.pipelines.validation import run_validation
+
+    rates = {k: 0.0 for k in ("dup_doc_id", "bad_kind", "bad_media_ref_format",
+                               "dangling_media_ref", "null_text", "offset_disorder", "empty_spans")}
+    data = generate(n_docs=300, seed=7, rates=rates, n_parts=2)
+    paths = write_dataset(str(tmp_path / "clean"), data)
+    report = run_validation(paths["documents"], catalog_path=paths["catalog"],
+                            out_dir=str(tmp_path / "out"), concurrency=2)
+    assert report.all_pass
+    assert report.n_violations == 0
+
+
+def test_checkpoint_resume(ray_session, gen_dir, tmp_path):
+    """Kill after K partitions (max_partitions), resume, compare to a clean
+    uninterrupted run — identical verdicts + violations (FIXTURES.md §6)."""
+    from json_schema_ray.pipelines.validation import run_validation
+
+    data, paths, out = gen_dir
+    clean_dir = str(tmp_path / "clean_run")
+    r_clean = run_validation(paths["documents"], catalog_path=paths["catalog"],
+                             out_dir=clean_dir, concurrency=2)
+
+    resumed_dir = str(tmp_path / "resumed_run")
+    r1 = run_validation(paths["documents"], catalog_path=paths["catalog"],
+                        out_dir=resumed_dir, max_partitions=2, concurrency=2)
+    assert len(r1.verdicts) == 2
+    r2 = run_validation(paths["documents"], catalog_path=paths["catalog"],
+                        out_dir=resumed_dir, concurrency=2)
+    assert sorted(r2.skipped_partitions) == sorted(r1.verdicts["partition_id"].to_pylist())
+
+    import pyarrow.dataset as pads
+
+    v_clean = (
+        pads.dataset(r_clean.violations_path, partitioning="hive").to_table().to_pandas()
+        .sort_values(["partition_id", "doc_id", "span_index", "constraint_id"]).reset_index(drop=True)
+    )
+    v_res = (
+        pads.dataset(r2.violations_path, partitioning="hive").to_table().to_pandas()
+        .sort_values(["partition_id", "doc_id", "span_index", "constraint_id"]).reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(v_clean, v_res[v_clean.columns])
+
+
+def test_drift_detection(ray_session, tmp_path):
+    from json_schema_ray.pipelines.validation import load_profile, run_validation
+
+    rates = {k: 0.0 for k in ("dup_doc_id", "bad_kind", "bad_media_ref_format",
+                               "dangling_media_ref", "null_text", "offset_disorder", "empty_spans")}
+    base = generate(n_docs=400, seed=1, rates=rates, n_parts=2)
+    bp = write_dataset(str(tmp_path / "base"), base)
+    r_base = run_validation(bp["documents"], catalog_path=bp["catalog"],
+                            out_dir=str(tmp_path / "base_out"), concurrency=2)
+    baseline = load_profile(os.path.join(str(tmp_path / "base_out"), "profile.json"))
+
+    # same distribution → no drift
+    same = generate(n_docs=400, seed=2, rates=rates, n_parts=2)
+    sp = write_dataset(str(tmp_path / "same"), same)
+    r_same = run_validation(sp["documents"], catalog_path=sp["catalog"],
+                            out_dir=str(tmp_path / "same_out"),
+                            baseline_profile=baseline, concurrency=2)
+    d = r_same.drift.to_pandas().set_index("feature")
+    assert not d.loc["n_spans", "drifted"]
+    assert not d.loc["text_len", "drifted"]
