@@ -1,0 +1,390 @@
+"""Deduplication family for training-data pipelines:
+
+- exact (content-fingerprint hash-partition + per-group first)
+- MinHash + LSH near-dup (shingle → minhash sig → band → bucket groupby)
+- SimHash near-dup (bitwise sig → band buckets → hamming verify)
+- n-gram Jaccard verification of candidate pairs
+- embedding-cosine near-dup (random-hyperplane LSH buckets → verify)
+
+Scale design: every candidate-generation step is a ``map_batches``
+combiner followed by a bucket ``groupby`` whose shuffle carries one
+narrow row per (bucket, doc) — the quadratic work only ever happens
+WITHIN a bucket, and verification joins touch only the (small)
+candidate set, fetched with a broadcast id-set filter instead of a
+full-table join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import add_fingerprint
+
+# ------------------------------------------------------------- exact dedup
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keep one row per distinct normalized text (hash-partitioned
+    groupby on the 64-bit fingerprint, first row per group wins).
+    Returns the deduplicated Dataset."""
+    with_fp = ds.map_batches(lambda b: add_fingerprint(b, text_col), batch_format="pyarrow")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1)
+
+    return with_fp.groupby("fingerprint").map_groups(first, batch_format="pandas")
+
+
+def exact_dup_groups(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Groups of ids sharing identical normalized text → (fingerprint,
+    n_dups, ids)."""
+    with_fp = ds.map_batches(
+        lambda b: add_fingerprint(b, text_col).select([id_col, "fingerprint"]),
+        batch_format="pyarrow",
+    )
+
+    def dups(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) <= 1:
+            return g.iloc[0:0].assign(n_dups=np.int64(0)).drop(columns=[id_col]).assign(ids="")
+        return pd.DataFrame(
+            {
+                "fingerprint": [g["fingerprint"].iloc[0]],
+                "n_dups": [np.int64(len(g))],
+                "ids": [",".join(map(str, sorted(g[id_col])))],
+            }
+        )
+
+    return with_fp.groupby("fingerprint").map_groups(dups, batch_format="pandas").to_pandas()
+
+
+# ---------------------------------------------------------------- minhash
+
+
+class MinHasher:
+    """Actor-pool stage: text → MinHash signature (k permutations over
+    word w-shingles).  Permutation params are fixed by seed → signatures
+    are deterministic across workers/runs."""
+
+    def __init__(self, k: int = 128, shingle_w: int = 3, seed: int = 42,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        rng = np.random.RandomState(seed)
+        # odd multipliers for 64-bit multiply-shift hashing
+        self.A = (rng.randint(1, 1 << 62, size=k, dtype=np.int64).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.B = rng.randint(1, 1 << 62, size=k, dtype=np.int64).astype(np.uint64)
+        self.k = k
+        self.w = shingle_w
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signatures(self, texts: pd.Series) -> np.ndarray:
+        """(n_docs, k) uint64 MinHash signature matrix."""
+        tokens = texts.fillna("").str.lower().str.findall(r"\w+")
+        sh: list[str] = []
+        counts = np.zeros(len(texts), dtype=np.int64)
+        w = self.w
+        for i, toks in enumerate(tokens):
+            if len(toks) < w:
+                s = [" ".join(toks)] if toks else [""]
+            else:
+                s = [" ".join(toks[j : j + w]) for j in range(len(toks) - w + 1)]
+            sh.extend(s)
+            counts[i] = len(s)
+        base = pd.util.hash_pandas_object(pd.Series(sh, dtype=object), index=False).to_numpy().astype(np.uint64)
+        doc_of = np.repeat(np.arange(len(texts)), counts)
+        # k permutations (wraparound multiply-add), min per doc per perm
+        sig = np.full((len(texts), self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
+        H = base[:, None] * self.A[None, :] + self.B[None, :]  # (n_shingles, k)
+        np.minimum.at(sig, doc_of, H)
+        return sig
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pandas()
+        sig = self.signatures(texts)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.reshape(-1), type=pa.uint64()), self.k
+                ),
+            }
+        )
+
+
+def _band_rows(batch: pa.Table, bands: int, rows_per_band: int, id_col: str) -> pa.Table:
+    sig = np.asarray(batch["sig"].combine_chunks().flatten() if isinstance(batch["sig"], pa.ChunkedArray) else batch["sig"].flatten())
+    k = bands * rows_per_band
+    sig = sig.reshape(-1, k if k else 1)[:, :k]
+    n = len(batch)
+    band_hash = np.zeros((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+        h = np.uint64(1469598103934665603)
+        acc = np.full(n, h)
+        for c in range(rows_per_band):
+            acc = (acc ^ chunk[:, c]) * np.uint64(1099511628211)
+        band_hash[:, b] = acc
+    ids = batch[id_col].to_pandas().to_numpy()
+    return pa.table(
+        {
+            id_col: pa.array(np.repeat(ids, bands)),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(band_hash.reshape(-1)),
+        }
+    )
+
+
+def minhash_lsh_candidates(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 128,
+    bands: int = 32,  # r = k/bands = 4 → LSH threshold ≈ (1/32)^(1/4) ≈ 0.42
+    seed: int = 42,
+    concurrency: int = 4,
+) -> pa.Table:
+    """MinHash-LSH candidate pairs: (id_a, id_b, est_jaccard).
+
+    sig stage (actor pool) → band explode → bucket groupby → pairs;
+    estimated Jaccard = fraction of equal signature components,
+    computed from signatures fetched for the candidate set only.
+    """
+    rows_per_band = k // bands
+    hasher_kwargs = dict(k=k, shingle_w=3, seed=seed, text_col=text_col, id_col=id_col)
+    sigs = ds.map_batches(
+        MinHasher, fn_constructor_kwargs=hasher_kwargs,
+        batch_format="pyarrow", concurrency=concurrency,
+    ).materialize()  # reused twice (banding + verification); sigs are narrow
+
+    banded = sigs.map_batches(
+        lambda b: _band_rows(b, bands, rows_per_band, id_col), batch_format="pyarrow"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[id_col]))
+        if len(ids) <= 1:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
+        return pd.DataFrame({"id_a": list(a), "id_b": list(b)})
+
+    pairs = (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if len(pairs) == 0:
+        return pa.table({"id_a": [], "id_b": [], "est_jaccard": pa.array([], type=pa.float64())})
+
+    cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
+    sig_tbl = (
+        sigs.filter(lambda r: r[id_col] in cand_ids).to_pandas()
+    )
+    sig_map = {
+        r[id_col]: np.asarray(r["sig"], dtype=np.uint64) for _, r in sig_tbl.iterrows()
+    }
+    est = [
+        float((sig_map[a] == sig_map[b]).mean()) for a, b in zip(pairs["id_a"], pairs["id_b"])
+    ]
+    pairs["est_jaccard"] = est
+    return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------- simhash
+
+
+class SimHasher:
+    """64-bit SimHash over word tokens (vectorized bit accumulation)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pandas()
+        tokens = texts.fillna("").str.lower().str.findall(r"\w+")
+        counts = tokens.str.len().to_numpy()
+        flat = [t for toks in tokens for t in toks]
+        doc_of = np.repeat(np.arange(len(texts)), counts)
+        sig = np.zeros(len(texts), dtype=np.uint64)
+        if flat:
+            h = pd.util.hash_pandas_object(pd.Series(flat, dtype=object), index=False).to_numpy().astype(np.uint64)
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")  # (n_tok, 64)
+            contrib = bits.astype(np.int32) * 2 - 1
+            acc = np.zeros((len(texts), 64), dtype=np.int64)
+            np.add.at(acc, doc_of, contrib)
+            packed = np.packbits((acc > 0).astype(np.uint8), axis=1, bitorder="little")
+            sig = packed.view(np.uint64).reshape(-1)
+        return pa.table({self.id_col: batch[self.id_col], "simhash": pa.array(sig)})
+
+
+def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 3, concurrency: int = 4) -> pa.Table:
+    """SimHash near-dup pairs: band the 64-bit sig into 4×16-bit keys,
+    bucket-group, verify exact hamming distance.  The pigeonhole
+    guarantee (some band equal) only covers hamming ≤ 3; with a larger
+    ``max_hamming`` recall is best-effort (candidates still need one
+    matching 16-bit band)."""
+    sigs = ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_pandas().to_numpy()
+        n = len(s)
+        bandvals = np.stack(
+            [(s >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)], axis=1
+        )
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, 4)),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_val": pa.array(bandvals.reshape(-1)),
+                "simhash": pa.array(np.repeat(s, 4)),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g.drop_duplicates(id_col)
+        if len(rows) <= 1:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": pd.Series([], dtype=np.int64)})
+        ids = rows[id_col].to_numpy()
+        sh = rows["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), 1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]})
+
+    pairs = (
+        sigs.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs):
+        pairs["lo"] = np.minimum(pairs["id_a"], pairs["id_b"])
+        pairs["hi"] = np.maximum(pairs["id_a"], pairs["id_b"])
+        pairs = (
+            pairs[pairs["hamming"] <= max_hamming]
+            .drop_duplicates(["lo", "hi"])[["lo", "hi", "hamming"]]
+            .rename(columns={"lo": "id_a", "hi": "id_b"})
+            .reset_index(drop=True)
+        )
+    return pa.Table.from_pandas(pairs, preserve_index=False)
+
+
+# --------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_verify(ds, pairs: pa.Table, text_col="text", id_col="doc_id", n: int = 3) -> pa.Table:
+    """Exact word n-gram Jaccard for candidate pairs.  Fetches ONLY the
+    candidate docs' texts (broadcast id-set filter — no full join)."""
+    if len(pairs) == 0:
+        return pairs.append_column("jaccard", pa.array([], type=pa.float64()))
+    ids = set(pairs["id_a"].to_pylist()) | set(pairs["id_b"].to_pylist())
+    texts = (
+        ds.map_batches(
+            lambda b: b.select([id_col, text_col]).filter(
+                pc.is_in(b[id_col], value_set=pa.array(list(ids)))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index(id_col)[text_col]
+    )
+
+    def grams(t: str) -> set:
+        toks = str(t).lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    cache = {i: grams(texts.get(i, "")) for i in ids}
+    jac = []
+    for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        ga, gb = cache[a], cache[b]
+        u = len(ga | gb)
+        jac.append(len(ga & gb) / u if u else 0.0)
+    return pairs.append_column("jaccard", pa.array(jac, type=pa.float64()))
+
+
+# ------------------------------------------------- embedding cosine dedup
+
+
+def embedding_near_dup(
+    ds,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+    n_tables: int = 4,
+) -> pa.Table:
+    """Embedding near-duplicate pairs via random-hyperplane LSH:
+    ``n_tables`` independent sign-bucketings (union of candidates), then
+    exact cosine verification inside each bucket (vectorized numpy)."""
+    rngs = np.random.RandomState(seed)
+    planes_ref = None  # planes generated lazily per dim
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        nonlocal planes_ref
+        emb = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.clip(norms, 1e-12, None)
+        dim = emb.shape[1]
+        if planes_ref is None:
+            r = np.random.RandomState(seed)
+            planes_ref = [r.normal(size=(dim, n_planes)) for _ in range(n_tables)]
+        ids = batch[id_col].to_pandas().to_numpy()
+        out_ids, out_tbl, out_bkt = [], [], []
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for t, P in enumerate(planes_ref):
+            bits = (emb @ P) > 0
+            bucket = bits @ weights
+            out_ids.append(ids)
+            out_tbl.append(np.full(len(ids), t, dtype=np.int32))
+            out_bkt.append(bucket)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids)),
+                "table_id": pa.array(np.concatenate(out_tbl)),
+                "bucket": pa.array(np.concatenate(out_bkt)),
+                "emb_norm": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.tile(emb.reshape(-1), n_tables), type=pa.float64()), dim
+                ),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g.drop_duplicates(id_col)
+        if len(rows) <= 1:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": pd.Series([], dtype=float)})
+        ids = rows[id_col].to_numpy()
+        E = np.stack(rows["emb_norm"].to_numpy())
+        sim = E @ E.T
+        ia, ib = np.triu_indices(len(ids), 1)
+        keep = sim[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": sim[ia[keep], ib[keep]]})
+
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["table_id", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs):
+        pairs["lo"] = np.minimum(pairs["id_a"], pairs["id_b"])
+        pairs["hi"] = np.maximum(pairs["id_a"], pairs["id_b"])
+        pairs = (
+            pairs.drop_duplicates(["lo", "hi"])[["lo", "hi", "cosine"]]
+            .rename(columns={"lo": "id_a", "hi": "id_b"})
+            .reset_index(drop=True)
+        )
+    return pa.Table.from_pandas(pairs, preserve_index=False)

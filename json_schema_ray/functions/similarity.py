@@ -1,0 +1,205 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_topk``: exact cosine top-k.  The query matrix is
+  broadcast once (``ray.put``) and read per actor in ``__init__``; each
+  batch contributes its LOCAL top-k per query (numpy matmul +
+  argpartition), and the final merge reduces n_batches × k rows — the
+  classic combiner pattern, no full-score shuffle.
+- ``ivf_topk``: IVF-style scale path — k-means centroids trained on a
+  driver-side sample, vectors assigned to their nearest centroid by a
+  map_batches stage; a query probes only the ``nprobe`` closest
+  centroids' partitions (candidate filter inside map_batches) before
+  exact scoring.  Recall < 1 by design; the partitioning assumption is
+  that cluster sizes stay balanced (rebalance by re-training centroids
+  on drift).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-12, None)
+
+
+class _TopKScorer:
+    """Actor-pool stage: per-batch local top-k against the broadcast
+    query matrix (loaded once per actor)."""
+
+    def __init__(self, queries_ref, k: int, emb_col: str, id_col: str, normalize: bool):
+        import ray
+
+        q = queries_ref
+        if isinstance(q, ray.ObjectRef):
+            q = ray.get(q)
+        self.qids = np.asarray(q["qids"])
+        self.Q = np.asarray(q["Q"], dtype=np.float64)  # already normalized
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.normalize = normalize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        E = _to_matrix(batch[self.emb_col])
+        if self.normalize:
+            E = _normalize(E)
+        ids = batch[self.id_col].to_pandas().to_numpy()
+        S = E @ self.Q.T  # (n, q)
+        k = min(self.k, len(ids))
+        top = np.argpartition(-S, k - 1, axis=0)[:k]  # (k, q)
+        out_q, out_id, out_s = [], [], []
+        for j, qid in enumerate(self.qids):
+            rows = top[:, j]
+            out_q.append(np.full(k, qid))
+            out_id.append(ids[rows])
+            out_s.append(S[rows, j])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 4,
+) -> pa.Table:
+    """Exact cosine top-k: (query_id, vec_id, score, rank)."""
+    import ray
+
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put({"qids": np.asarray(query_ids), "Q": Q})
+    partials = ds.map_batches(
+        _TopKScorer,
+        fn_constructor_kwargs=dict(
+            queries_ref=qref, k=k, emb_col=emb_col, id_col=id_col, normalize=True
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return pa.Table.from_pandas(
+        out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+# ----------------------------------------------------------------- IVF
+
+
+def train_centroids(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Small k-means (driver-side, on a sample) → normalized centroids."""
+    rng = np.random.RandomState(seed)
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2000,
+    seed: int = 42,
+    concurrency: int = 4,
+) -> pa.Table:
+    """Approximate top-k: probe only the nprobe nearest centroids."""
+    import ray
+
+    sample = _to_matrix(
+        pa.concat_tables(
+            [pa.table(b) for b in ds.limit(sample_size).iter_batches(batch_format="pyarrow")]
+        )[emb_col]
+    )
+    C = train_centroids(sample, n_clusters, seed=seed)
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    allowed = [set(p) for p in probe]
+    qref = ray.put({"qids": np.asarray(query_ids), "Q": Q})
+    cref = ray.put(C)
+
+    class ProbedScorer(_TopKScorer):
+        def __init__(self, queries_ref, k, emb_col, id_col, centroids_ref, allowed_sets):
+            super().__init__(queries_ref, k, emb_col, id_col, normalize=True)
+            self.C = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+            self.allowed = allowed_sets
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            E = _normalize(_to_matrix(batch[self.emb_col]))
+            ids = batch[self.id_col].to_pandas().to_numpy()
+            assign = np.argmax(E @ self.C.T, axis=1)
+            out = []
+            for j, qid in enumerate(self.qids):
+                mask = np.isin(assign, list(self.allowed[j]))
+                if not mask.any():
+                    continue
+                S = E[mask] @ self.Q[j]
+                kk = min(self.k, int(mask.sum()))
+                rows = np.argpartition(-S, kk - 1)[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, self.id_col: ids[mask][rows], "score": S[rows]}
+                    )
+                )
+            if not out:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        self.id_col: pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+
+    partials = ds.map_batches(
+        ProbedScorer,
+        fn_constructor_kwargs=dict(
+            queries_ref=qref, k=k, emb_col=emb_col, id_col=id_col,
+            centroids_ref=cref, allowed_sets=allowed,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return pa.Table.from_pandas(
+        out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True),
+        preserve_index=False,
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis batch transforms for large-scale training-data pipelines:
+language-ID (stopword-hit heuristic), quality scoring, token counting,
+document fingerprinting.  All vectorized (pyarrow.compute / pandas str
+kernels); regexes compiled once per actor via the callable-class pattern.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish word/number/punct split
+WS_TOKEN_RE = r"\S+"
+
+# small marker-word lists per language (n-gram heuristic; public common words)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"),
+    "es": ("el", "la", "los", "y", "es", "no", "por", "que", "una", "con"),
+}
+
+STOPWORDS = frozenset(LANG_MARKERS["en"])
+
+
+def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ``n_tokens`` (whitespace tokens) and ``n_bpe_tokens``
+    (BPE-ish regex pieces) — pure pc kernels."""
+    t = batch[text_col]
+    ws = pc.count_substring_regex(t, WS_TOKEN_RE)
+    bpe = pc.count_substring_regex(t, TOKEN_RE)
+    out = batch.append_column("n_tokens", pc.cast(ws, pa.int64()))
+    return out.append_column("n_bpe_tokens", pc.cast(bpe, pa.int64()))
+
+
+def add_quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality features + composite score ∈ [0,1]:
+    length, punctuation ratio, stopword ratio, mean word length."""
+    t = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(t), pa.float64()).fill_null(0).to_numpy(zero_copy_only=False)
+    n_tok = pc.cast(pc.count_substring_regex(t, WS_TOKEN_RE), pa.float64()).fill_null(0).to_numpy(zero_copy_only=False)
+    n_punct = pc.cast(pc.count_substring_regex(t, r"[^\w\s]"), pa.float64()).fill_null(0).to_numpy(zero_copy_only=False)
+    n_stop = pc.cast(
+        pc.count_substring_regex(t, r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"),
+        pa.float64(),
+    ).fill_null(0).to_numpy(zero_copy_only=False)
+
+    tok = np.maximum(n_tok, 1.0)
+    punct_ratio = n_punct / np.maximum(n_chars, 1.0)
+    stop_ratio = n_stop / tok
+    mean_word_len = np.maximum(n_chars - (tok - 1), 0) / tok
+    len_score = np.clip(n_chars / 500.0, 0, 1)
+    word_len_score = np.exp(-0.5 * ((mean_word_len - 5.0) / 3.0) ** 2)
+    score = 0.4 * len_score + 0.3 * (1 - np.clip(punct_ratio * 5, 0, 1)) + 0.3 * word_len_score
+
+    out = batch
+    for name, vals in (
+        ("punct_ratio", punct_ratio),
+        ("stopword_ratio", stop_ratio),
+        ("mean_word_len", mean_word_len),
+        ("quality_score", score),
+    ):
+        out = out.append_column(name, pa.array(vals, type=pa.float64()))
+    return out
+
+
+class LangId:
+    """Actor-pool language-ID stage: marker regexes compiled once per
+    actor (``__init__``), per-batch work is K regex-count kernels +
+    argmax — no per-row Python."""
+
+    def __init__(self, langs: dict[str, tuple[str, ...]] | None = None):
+        self.langs = langs or LANG_MARKERS
+        self.patterns = {
+            lang: r"(?i)\b(?:" + "|".join(words) + r")\b"
+            for lang, words in self.langs.items()
+        }
+
+    def __call__(self, batch: pa.Table, text_col: str = "text") -> pa.Table:
+        t = batch[text_col]
+        n_tok = pc.cast(pc.count_substring_regex(t, WS_TOKEN_RE), pa.float64()).fill_null(0).to_numpy(zero_copy_only=False)
+        scores = np.zeros((len(batch), len(self.patterns)))
+        names = list(self.patterns)
+        for j, lang in enumerate(names):
+            hits = pc.cast(
+                pc.count_substring_regex(t, self.patterns[lang]), pa.float64()
+            ).fill_null(0).to_numpy(zero_copy_only=False)
+            scores[:, j] = hits / np.maximum(n_tok, 1.0)
+        best = np.argmax(scores, axis=1)
+        conf = scores[np.arange(len(batch)), best]
+        lang_arr = np.array(names, dtype=object)[best]
+        lang_arr[conf == 0] = "und"  # no markers hit
+        out = batch.append_column("lang_pred", pa.array(lang_arr, type=pa.string()))
+        return out.append_column("lang_conf", pa.array(conf, type=pa.float64()))
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic 64-bit content fingerprint of the normalized text
+    (lowercased, whitespace-collapsed) — the exact-dedup key.  Uses
+    pandas' SipHash (fixed key → stable across processes/nodes)."""
+    t = pc.utf8_lower(batch[text_col])
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    s = t.to_pandas()
+    h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+    h[s.isna().to_numpy()] = 0
+    return batch.append_column("fingerprint", pa.array(h.astype(np.uint64)))

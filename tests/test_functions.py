@@ -1,0 +1,177 @@
+"""Tests for training-data ops: stats, text analysis, dedup family,
+similarity search, multimodal stubs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def docs_ds(ray_session, sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_column_stats_exact(ray_session, sf_dir, docs_ds):
+    import pyarrow.parquet as pq
+
+    from json_schema_ray.stages.stats import column_stats
+
+    got = column_stats(docs_ds, ["n_chars", "doc_id"], with_hll=True).to_pandas().set_index("column")
+    exact = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    assert got.loc["n_chars", "n_rows"] == len(exact)
+    assert got.loc["n_chars", "n_null"] == exact["n_chars"].isna().sum()
+    assert got.loc["n_chars", "min_val"] == exact["n_chars"].min()
+    assert got.loc["n_chars", "max_val"] == exact["n_chars"].max()
+    est = got.loc["doc_id", "approx_distinct"]
+    assert abs(est - exact["doc_id"].nunique()) / exact["doc_id"].nunique() < 0.05
+
+
+def test_text_kernels(ray_session):
+    from json_schema_ray.functions.text import LangId, add_fingerprint, add_quality_score, add_token_counts
+
+    t = pa.table({"doc_id": [1, 2, 3], "text": ["the cat and the dog", "der Hund ist nicht da und", None]})
+    out = add_token_counts(t)
+    assert out["n_tokens"].to_pylist() == [5, 6, None]
+    out = add_quality_score(t)
+    assert 0 <= out["quality_score"][0].as_py() <= 1
+    out = LangId()(t)
+    assert out["lang_pred"].to_pylist()[:2] == ["en", "de"]
+    f1 = add_fingerprint(pa.table({"text": ["Hello  World"]}))["fingerprint"][0]
+    f2 = add_fingerprint(pa.table({"text": ["hello world"]}))["fingerprint"][0]
+    assert f1 == f2  # normalization: case + whitespace
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from json_schema_ray.functions.dedup import exact_dedup, exact_dup_groups
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["aaa bbb", "AAA  BBB", "ccc", "ddd"]}
+    )
+    ds = rd.from_pandas(df)
+    kept = exact_dedup(ds).to_pandas()
+    assert len(kept) == 3
+    assert 1 in set(kept["doc_id"]) and 2 not in set(kept["doc_id"])
+    groups = exact_dup_groups(ds)
+    assert len(groups) == 1 and groups["ids"].iloc[0] == "1,2"
+
+
+@pytest.fixture()
+def neardup_ds(ray_session):
+    import ray.data as rd
+
+    base = ("the quick brown fox jumps over the lazy dog while the sun sets "
+            "behind distant mountains and rivers flow gently through green valleys")
+    edited = base.replace("lazy dog", "sleepy dog")  # near-dup of doc 1
+    other = ("completely different content about database engines columnar "
+             "storage vectorized execution and distributed shuffle algorithms")
+    rng = np.random.RandomState(0)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+             "iota", "kappa", "lam", "mu", "nu", "xi", "omicron", "pi"]
+    fillers = [" ".join(rng.choice(vocab, 25)) for _ in range(20)]
+    df = pd.DataFrame(
+        {"doc_id": list(range(1, 24)), "text": [base, edited, other] + fillers}
+    )
+    return rd.from_pandas(df)
+
+
+def test_minhash_lsh(neardup_ds):
+    from json_schema_ray.functions.dedup import minhash_lsh_candidates, ngram_jaccard_verify
+
+    pairs = minhash_lsh_candidates(neardup_ds, concurrency=2)
+    pset = {tuple(sorted(p)) for p in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist())}
+    assert (1, 2) in pset
+    verified = ngram_jaccard_verify(neardup_ds, pairs)
+    d = {tuple(sorted((a, b))): j for a, b, j in
+         zip(verified["id_a"].to_pylist(), verified["id_b"].to_pylist(), verified["jaccard"].to_pylist())}
+    assert d[(1, 2)] > 0.6
+
+
+def test_simhash(neardup_ds):
+    from json_schema_ray.functions.dedup import simhash_candidates
+
+    pairs = simhash_candidates(neardup_ds, max_hamming=8, concurrency=2)
+    pset = {tuple(sorted(p)) for p in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist())}
+    assert (1, 2) in pset
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(30, 16))
+    # vec 31 = near-copy of vec 0
+    emb = np.vstack([base, base[0] + rng.normal(scale=0.01, size=16)])
+    df = pd.DataFrame({"vec_id": np.arange(31), "embedding": [list(map(float, e)) for e in emb]})
+    from json_schema_ray.functions.dedup import embedding_near_dup
+
+    pairs = embedding_near_dup(rd.from_pandas(df), threshold=0.98)
+    pset = {tuple(sorted(p)) for p in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist())}
+    assert (0, 30) in pset
+
+
+def test_brute_force_topk_exact(ray_session, sf_dir):
+    import ray.data as rd
+
+    from json_schema_ray.functions.similarity import _normalize, brute_force_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    full = ds.to_pandas()
+    E = _normalize(np.asarray(list(full["embedding"]), dtype=np.float64))
+    ids = full["vec_id"].to_numpy()
+    q_idx = [0, 1]
+    got = brute_force_topk(ds, E[q_idx], ids[q_idx], k=5, concurrency=2).to_pandas()
+
+    for qi in q_idx:
+        scores = E @ E[qi]
+        order = np.lexsort((ids, -scores))[:5]
+        expect = ids[order]
+        mine = got[got["query_id"] == ids[qi]].sort_values("rank")["vec_id"].to_numpy()
+        assert list(mine) == list(expect)
+
+
+def test_ivf_topk_recall(ray_session, sf_dir):
+    import ray.data as rd
+
+    from json_schema_ray.functions.similarity import _normalize, brute_force_topk, ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    full = ds.to_pandas()
+    E = _normalize(np.asarray(list(full["embedding"]), dtype=np.float64))
+    ids = full["vec_id"].to_numpy()
+    exact = brute_force_topk(ds, E[:2], ids[:2], k=10, concurrency=2).to_pandas()
+    approx = ivf_topk(ds, E[:2], ids[:2], k=10, n_clusters=8, nprobe=4, concurrency=2).to_pandas()
+    recalls = []
+    for qid in ids[:2]:
+        a = set(exact[exact["query_id"] == qid]["vec_id"])
+        b = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(a & b) / len(a))
+    assert np.mean(recalls) >= 0.5  # nprobe=4/8 clusters: decent recall
+
+
+def test_media_stub_pipeline(ray_session, tmp_path):
+    import ray.data as rd
+
+    from json_schema_ray.functions.media import ImageDecoder, decode_media_spans
+    from json_schema_ray.sources.interleaved import generate, write_dataset
+
+    data = generate(n_docs=100, seed=9, n_parts=2)
+    paths = write_dataset(str(tmp_path), data)
+    docs = rd.read_parquet(paths["documents"])
+    decoded = decode_media_spans(docs, batch_size=64, concurrency=2).to_pandas()
+    assert set(decoded.columns) == {"media_ref", "width", "height", "n_channels", "feature"}
+    assert (decoded["n_channels"] == 3).all()
+    assert all(len(f) == 64 for f in decoded["feature"])
+    # deterministic fake: same ref -> same dims
+    one = decoded.iloc[0]
+    again = ImageDecoder()(pa.table({"media_ref": [one["media_ref"]]})).to_pandas().iloc[0]
+    assert (again["width"], again["height"]) == (one["width"], one["height"])
+    # strict mode raises the documented NotImplementedError
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(strict=True)(pa.table({"media_ref": ["x"]}))
