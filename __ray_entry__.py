@@ -1,44 +1,560 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() ↔ oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import — nothing here calls
+ray.init()/ray.shutdown().  Each queries()[name](sf_dir) returns a
+Dataset / pandas DataFrame / pyarrow Table whose column NAMES match the
+corresponding oracle SQL exactly (the driver hash-compares values after
+sorting columns by name).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+EVENT_TYPES = ("click", "view", "purchase", "signup")  # 'error' rows violate
+
+
+# --------------------------------------------------------------------- entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: reshape sf0.001 documents into the interleaved
+    (doc_id, spans) table, run the full validation pipeline (span
+    predicate kernels → stats/sketch partials → salted uniqueness →
+    broadcast referential semi-join → verdicts/violations + manifest),
+    return the per-partition verdict table."""
+    import pyarrow.parquet as pq
+
+    from json_schema_ray.pipelines.validation import run_validation
+    from json_schema_ray.sources.interleaved import interleave_from_documents, write_dataset
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    data = interleave_from_documents(docs, seed=42, n_parts=8)
+    work = os.path.join(tempfile.gettempdir(), "jsr_entry")
+    paths = write_dataset(work, data)
+    report = run_validation(
+        paths["documents"],
+        catalog_path=paths["catalog"],
+        out_dir=os.path.join(work, "out"),
+        resume=False,
+        concurrency=2,
+    )
+    return report.verdicts
+
+
+# ------------------------------------------------------------------- queries
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def q_col_stats(sf_dir: str) -> pa.Table:
+    """Per-column null-rate/min/max via two-phase map_batches partials."""
+    from json_schema_ray.stages.stats import column_stats
+
+    return column_stats(
+        _read(sf_dir, "documents", ["n_chars"]), ["n_chars"], with_hll=False
+    )
+
+
+def q_distinct_exact(sf_dir: str) -> pa.Table:
+    """Exact distinct via salted two-phase groupby (shuffle check)."""
+    from json_schema_ray.stages.shuffle import salted_group_count
+
+    per_key = salted_group_count(_read(sf_dir, "documents", ["doc_id"]), "doc_id")
+    return pa.table({"n_distinct": pa.array([per_key.count()], type=pa.int64())})
+
+
+def q_dup_users(sf_dir: str) -> pa.Table:
+    """Keys with >1 rows: salted two-phase count + dup filter."""
+    from json_schema_ray.stages.shuffle import find_duplicate_keys
+
+    t = find_duplicate_keys(_read(sf_dir, "events", ["user_id"]), "user_id")
+    return pa.table(
+        {"user_id": t["user_id"], "cnt": pc.cast(t["total_cnt"], pa.int64())}
+    )
+
+
+def q_enum_violations(sf_dir: str) -> pa.Table:
+    """Vectorized enum kernel over event_type → violation counts."""
+    from json_schema_ray.kernels.vector import compile_vector
+
+    ds = _read(sf_dir, "events", ["event_type"])
+    kern = compile_vector({"enum": list(EVENT_TYPES)}, pa.string())
+
+    def bad_counts(batch: pa.Table) -> pa.Table:
+        mask = kern(batch["event_type"])
+        bad = batch.filter(pa.array(~mask))
+        import pandas as pd
+
+        c = bad.to_pandas().groupby("event_type").size().reset_index(name="n")
+        return pa.Table.from_pandas(c, preserve_index=False)
+
+    partials = ds.map_batches(bad_counts, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    return partials.groupby("event_type").aggregate(Sum("n", alias_name="n"))
+
+
+def q_range_check_lineitem(sf_dir: str) -> pa.Table:
+    """compile_table_plan range constraints → per-constraint bad counts."""
+    from json_schema_ray.kernels.vector import apply_table_plan, compile_table_plan
+
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    ds = _read(sf_dir, "lineitem", cols)
+    schema = pq.read_schema(os.path.join(sf_dir, "lineitem.parquet"))
+    spec = {
+        "l_quantity": {"type": "number", "minimum": 1, "maximum": 50},
+        "l_discount": {"minimum": 0, "maximum": 0.1},
+        "l_extendedprice": {"exclusiveMinimum": 0},
+    }
+    plan = compile_table_plan(spec, schema)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        masks = apply_table_plan(plan, batch)
+        return pa.table(
+            {
+                "constraint_id": pa.array(list(masks)),
+                "n_bad": pa.array([int((~m).sum()) for m in masks.values()], type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("constraint_id")
+        .aggregate(Sum("n_bad", alias_name="n_bad"))
+    )
+    return out
+
+
+def q_pattern_length(sf_dir: str) -> pa.Table:
+    """RE2 pattern + code-point length kernels, single-row aggregate."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        n_match = int(
+            pc.sum(pc.cast(pc.match_substring_regex(t, "join.*merge"), pa.int64())).as_py() or 0
+        )
+        n_short = int(
+            pc.sum(pc.cast(pc.less(pc.utf8_length(t), 100), pa.int64())).as_py() or 0
+        )
+        return pa.table({"n_match": [n_match], "n_short": [n_short]})
+
+    import pandas as pd
+
+    df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "n_match": pa.array([int(df["n_match"].sum())], type=pa.int64()),
+            "n_short": pa.array([int(df["n_short"].sum())], type=pa.int64()),
+        }
+    )
+
+
+def q_referential_broadcast(sf_dir: str) -> pa.Table:
+    """Broadcast semi-join: orders whose customer is NOT in the restricted
+    catalog (customers of nations 0-9) — ray.put key set, pc.is_in."""
+    import ray
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    keys = cust.filter(pc.less(cust["c_nationkey"], 10))["c_custkey"]
+    key_ref = ray.put(keys.to_pylist())
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+
+    class AntiJoin:
+        def __init__(self, key_ref):
+            self.keys = pa.array(ray.get(key_ref), type=pa.int64())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            dangling = pc.invert(pc.is_in(batch["o_custkey"], value_set=self.keys))
+            return pa.table(
+                {"n_dangling": pa.array([int(pc.sum(pc.cast(dangling, pa.int64())).as_py() or 0)], type=pa.int64())}
+            )
+
+    df = ds.map_batches(
+        AntiJoin, fn_constructor_kwargs={"key_ref": key_ref},
+        batch_format="pyarrow", concurrency=2,
+    ).to_pandas()
+    return pa.table({"n_dangling": pa.array([int(df["n_dangling"].sum())], type=pa.int64())})
+
+
+def q_referential_hash(sf_dir: str) -> pa.Table:
+    """Hash-partitioned anti-join fallback (large catalog path): bucket
+    both sides on hash(key) % B, per-bucket pandas anti-join."""
+    import pandas as pd
+    import ray.data as rd
+
+    B = 8
+
+    def bucket(batch: pa.Table, col: str, side: str) -> pa.Table:
+        import pandas as pd
+
+        k = batch[col].to_pandas()
+        h = (pd.util.hash_pandas_object(k, index=False).to_numpy() % B).astype(np.int32)
+        return pa.table({"key": pc.cast(batch[col], pa.int64()), "bucket": pa.array(h), "side": pa.array([side] * len(batch))})
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"])
+    keys = cust.filter(pc.less(cust["c_nationkey"], 10)).select(["c_custkey"])
+    left = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: bucket(b, "o_custkey", "L"), batch_format="pyarrow"
+    )
+    right = rd.from_arrow(keys).map_batches(
+        lambda b: bucket(b, "c_custkey", "R"), batch_format="pyarrow"
+    )
+    both = left.union(right)
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = set(g.loc[g["side"] == "R", "key"])
+        l = g[g["side"] == "L"]
+        n = int((~l["key"].isin(have)).sum())
+        return pd.DataFrame({"n_dangling": [np.int64(n)]})
+
+    df = both.groupby("bucket").map_groups(anti, batch_format="pandas").to_pandas()
+    return pa.table({"n_dangling": pa.array([int(df["n_dangling"].sum())], type=pa.int64())})
+
+
+def q_json_props(sf_dir: str) -> pa.Table:
+    """Dynamic-path JSON-column validation (compile-once, per-batch
+    parse+evaluate) over events.props."""
+    from json_schema_ray.kernels.dynamic import compile_schema
+
+    cs = compile_schema(
+        {"type": "object", "required": ["k"],
+         "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 49}}}
+    )
+    ds = _read(sf_dir, "events", ["props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import json
+
+        ok = 0
+        for s in batch["props"].to_pylist():
+            try:
+                ok += cs.is_valid(json.loads(s)) if s is not None else 0
+            except ValueError:
+                pass
+        return pa.table({"n_valid": pa.array([ok], type=pa.int64()), "n": pa.array([len(batch)], type=pa.int64())})
+
+    df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n, nv = int(df["n"].sum()), int(df["n_valid"].sum())
+    return pa.table(
+        {"n_valid": pa.array([nv], type=pa.int64()), "n_invalid": pa.array([n - nv], type=pa.int64())}
+    )
+
+
+def q_dedup_exact(sf_dir: str) -> pa.Table:
+    from json_schema_ray.functions.dedup import exact_dedup
+
+    kept = exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return pa.table({"n_unique": pa.array([kept.count()], type=pa.int64())})
+
+
+def q_token_stats(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Sum
+
+    from json_schema_ray.functions.text import add_token_counts
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    out = (
+        ds.map_batches(lambda b: add_token_counts(b).select(["lang", "n_tokens"]), batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+    )
+    return out
+
+
+def q_groupby_events(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_ts_range(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mm = pc.min_max(batch["ts"])
+        return pa.table(
+            {"ts_min": [mm["min"].as_py()], "ts_max": [mm["max"].as_py()], "n": pa.array([len(batch)], type=pa.int64())}
+        )
+
+    df = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "ts_min": pa.array([df["ts_min"].min()], type=pa.timestamp("us")),
+            "ts_max": pa.array([df["ts_max"].max()], type=pa.timestamp("us")),
+            "n": pa.array([int(df["n"].sum())], type=pa.int64()),
+        }
+    )
+
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-k (broadcast query matrix, combiner merge)."""
+    from json_schema_ray.functions.similarity import _normalize, brute_force_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    sel = emb.filter(pc.less(emb["vec_id"], 2))
+    Q = _normalize(np.asarray(sel["embedding"].to_pylist(), dtype=np.float64))
+    qids = sel["vec_id"].to_numpy()
+    got = brute_force_topk(_read(sf_dir, "embeddings"), Q, qids, k=10, concurrency=2)
+    return got.select(["query_id", "vec_id", "rank"])
+
+
+# ------------------------------ rows-only (no SQL oracle) -------------------
+
+
+def q_hll_cardinality(sf_dir: str) -> pa.Table:
+    from json_schema_ray.stages.stats import column_stats
+
+    t = column_stats(_read(sf_dir, "documents", ["doc_id", "source"]), ["doc_id", "source"], with_hll=True)
+    return t.select(["column", "approx_distinct"])
+
+
+def q_minhash_near_dup(sf_dir: str) -> pa.Table:
+    from json_schema_ray.functions.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_read(sf_dir, "documents", ["doc_id", "text"]), concurrency=2)
+
+
+def q_simhash_near_dup(sf_dir: str) -> pa.Table:
+    from json_schema_ray.functions.dedup import simhash_candidates
+
+    return simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=8, concurrency=2)
+
+
+def q_embedding_near_dup(sf_dir: str) -> pa.Table:
+    from json_schema_ray.functions.dedup import embedding_near_dup
+
+    return embedding_near_dup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9)
+
+
+def q_langid(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count
+
+    from json_schema_ray.functions.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .groupby("lang_pred")
+        .aggregate(Count(alias_name="n"))
+    )
+    return out
+
+
+def q_quality(sf_dir: str) -> pa.Table:
+    from json_schema_ray.functions.text import add_quality_score
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    import pandas as pd
+
+    df = (
+        ds.map_batches(lambda b: add_quality_score(b).select(["source", "quality_score"]), batch_format="pyarrow")
+        .to_pandas()
+        .groupby("source", as_index=False)
+        .agg(avg_quality=("quality_score", "mean"), n=("quality_score", "size"))
+    )
+    df["avg_quality"] = df["avg_quality"].round(6)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_ivf_ann(sf_dir: str) -> pa.Table:
+    from json_schema_ray.functions.similarity import _normalize, ivf_topk
+
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    sel = emb.filter(pc.less(emb["vec_id"], 2))
+    Q = _normalize(np.asarray(sel["embedding"].to_pylist(), dtype=np.float64))
+    return ivf_topk(_read(sf_dir, "embeddings"), Q, sel["vec_id"].to_numpy(), k=10, concurrency=2)
+
+
+def q_span_validation(sf_dir: str) -> pa.Table:
+    """Flagship interleaved validation derived from the documents table."""
+    from json_schema_ray.pipelines.validation import run_validation
+    from json_schema_ray.sources.interleaved import interleave_from_documents, write_dataset
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    data = interleave_from_documents(docs, seed=42, n_parts=8)
+    work = os.path.join(tempfile.gettempdir(), f"jsr_q_{abs(hash(sf_dir)) % 99999}")
+    paths = write_dataset(work, data)
+    report = run_validation(
+        paths["documents"], catalog_path=paths["catalog"],
+        out_dir=os.path.join(work, "out"), resume=False, concurrency=2,
+    )
+    return report.verdicts
+
+
+def q_media_decode(sf_dir: str) -> pa.Table:
+    """Multimodal stub path: media spans → decode actor pool (fake codec)."""
+    import ray.data as rd
+
+    from json_schema_ray.functions.media import decode_media_spans
+    from json_schema_ray.sources.interleaved import interleave_from_documents, write_dataset
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    data = interleave_from_documents(docs, seed=42, n_parts=4)
+    work = os.path.join(tempfile.gettempdir(), f"jsr_m_{abs(hash(sf_dir)) % 99999}")
+    paths = write_dataset(work, data)
+    decoded = decode_media_spans(rd.read_parquet(paths["documents"]), batch_size=256, concurrency=2)
+    import pandas as pd
+
+    df = decoded.to_pandas()
+    return pa.table(
+        {
+            "n_decoded": pa.array([len(df)], type=pa.int64()),
+            "avg_width": pa.array([round(float(df["width"].mean()), 3)], type=pa.float64()),
+        }
+    )
+
+
+def q_drift(sf_dir: str) -> pa.Table:
+    """t-digest drift: events.value first half (baseline) vs scaled copy."""
+    from json_schema_ray.state.tdigest import TDigest, ks_statistic, psi
+
+    vals = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["value"])["value"].to_numpy(zero_copy_only=False)
+    base = TDigest().add_values(vals)
+    same = TDigest().add_values(vals + np.random.RandomState(0).normal(0, 1e-9, len(vals)))
+    shifted = TDigest().add_values(vals * 1.5)
+    return pa.table(
+        {
+            "case": ["same", "shifted"],
+            "ks": pa.array(
+                [round(ks_statistic(base, same), 4), round(ks_statistic(base, shifted), 4)], type=pa.float64()
+            ),
+            "psi": pa.array([round(psi(base, same), 4), round(psi(base, shifted), 4)], type=pa.float64()),
+            "drifted": pa.array([False, True]),
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "col_stats": q_col_stats,
+        "distinct_exact": q_distinct_exact,
+        "dup_users": q_dup_users,
+        "enum_violations": q_enum_violations,
+        "range_check_lineitem": q_range_check_lineitem,
+        "pattern_length": q_pattern_length,
+        "referential_broadcast": q_referential_broadcast,
+        "referential_hash": q_referential_hash,
+        "json_props": q_json_props,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "groupby_events": q_groupby_events,
+        "ts_range": q_ts_range,
+        "ann_topk": q_ann_topk,
+        # rows-only checks (non-SQL-expressible / approximate)
+        "hll_cardinality": q_hll_cardinality,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "langid": q_langid,
+        "quality": q_quality,
+        "ivf_ann": q_ivf_ann,
+        "span_validation": q_span_validation,
+        "media_decode": q_media_decode,
+        "drift": q_drift,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ets = ", ".join(f"'{e}'" for e in EVENT_TYPES)
+    return {
+        "col_stats": """
+            SELECT 'n_chars' AS "column",
+                   count(*) AS n_rows,
+                   count(*) - count(n_chars) AS n_null,
+                   (count(*) - count(n_chars)) / count(*)::DOUBLE AS null_rate,
+                   min(n_chars)::DOUBLE AS min_val,
+                   max(n_chars)::DOUBLE AS max_val
+            FROM documents
+        """,
+        "distinct_exact": "SELECT count(DISTINCT doc_id) AS n_distinct FROM documents",
+        "dup_users": """
+            SELECT user_id, count(*) AS cnt FROM events
+            GROUP BY user_id HAVING count(*) > 1
+        """,
+        "enum_violations": f"""
+            SELECT event_type, count(*) AS n FROM events
+            WHERE event_type NOT IN ({ets}) GROUP BY event_type
+        """,
+        "range_check_lineitem": """
+            SELECT 'l_quantity/schema' AS constraint_id,
+                   count(*) FILTER (WHERE NOT (l_quantity >= 1 AND l_quantity <= 50)) AS n_bad FROM lineitem
+            UNION ALL
+            SELECT 'l_discount/schema',
+                   count(*) FILTER (WHERE NOT (l_discount >= 0 AND l_discount <= 0.1)) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice/schema',
+                   count(*) FILTER (WHERE NOT (l_extendedprice > 0)) FROM lineitem
+        """,
+        "pattern_length": """
+            SELECT count(*) FILTER (WHERE regexp_matches(text, 'join.*merge')) AS n_match,
+                   count(*) FILTER (WHERE length(text) < 100) AS n_short
+            FROM documents
+        """,
+        "referential_broadcast": """
+            SELECT count(*) AS n_dangling FROM orders o
+            LEFT JOIN (SELECT c_custkey FROM customer WHERE c_nationkey < 10) c
+              ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL
+        """,
+        "referential_hash": """
+            SELECT count(*) AS n_dangling FROM orders o
+            LEFT JOIN (SELECT c_custkey FROM customer WHERE c_nationkey < 10) c
+              ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL
+        """,
+        "json_props": """
+            SELECT count(*) FILTER (WHERE CAST(json_extract(props, '$.k') AS INTEGER) BETWEEN 0 AND 49) AS n_valid,
+                   count(*) FILTER (WHERE CAST(json_extract(props, '$.k') AS INTEGER) NOT BETWEEN 0 AND 49
+                                    OR json_extract(props, '$.k') IS NULL) AS n_invalid
+            FROM events
+        """,
+        "dedup_exact": """
+            SELECT count(DISTINCT lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS n_unique FROM documents
+        """,
+        "token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang
+        """,
+        "groupby_events": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "ts_range": "SELECT min(ts) AS ts_min, max(ts) AS ts_max, count(*) AS n FROM events",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 2),
+            s AS (SELECT q.qid AS query_id, e.vec_id,
+                         list_cosine_similarity(q.qe, e.embedding) AS score
+                  FROM embeddings e CROSS JOIN q),
+            r AS (SELECT query_id, vec_id,
+                         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+                  FROM s)
+            SELECT query_id, vec_id, rank FROM r WHERE rank <= 10
+        """,
+    }

@@ -179,12 +179,21 @@ def minhash_lsh_candidates(
         return pa.table({"id_a": [], "id_b": [], "est_jaccard": pa.array([], type=pa.float64())})
 
     cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
-    sig_tbl = (
-        sigs.filter(lambda r: r[id_col] in cand_ids).to_pandas()
-    )
-    sig_map = {
-        r[id_col]: np.asarray(r["sig"], dtype=np.uint64) for _, r in sig_tbl.iterrows()
-    }
+    cand_arr = pa.array(list(cand_ids))
+    sig_batches = [
+        b
+        for b in sigs.map_batches(
+            lambda t: t.filter(pc.is_in(t[id_col], value_set=cand_arr)),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    sig_map: dict = {}
+    for b in sig_batches:
+        ids_np = b[id_col].to_pandas().to_numpy()
+        flat = b["sig"].combine_chunks() if isinstance(b["sig"], pa.ChunkedArray) else b["sig"]
+        mat = np.asarray(flat.flatten()).reshape(len(ids_np), -1).astype(np.uint64)
+        for i, did in enumerate(ids_np):
+            sig_map[did] = mat[i]
     est = [
         float((sig_map[a] == sig_map[b]).mean()) for a, b in zip(pairs["id_a"], pairs["id_b"])
     ]

@@ -211,6 +211,73 @@ def generate(
     return GeneratedData(documents, catalog, expected)
 
 
+def interleave_from_documents(
+    docs: pa.Table, seed: int = 42, n_parts: int = 8, dangling_rate: float = 0.01
+) -> GeneratedData:
+    """Deterministically re-shape the TPC-H-ish ``documents`` table
+    (doc_id,text,lang,source,n_chars — TESTDATA.md) into the interleaved
+    ``input_hint`` shape: each doc's text split into ~3 text spans plus
+    one media span whose ref hashes off the doc_id; a fraction of refs
+    is withheld from the catalog (expected dangling set)."""
+    rng = np.random.RandomState(seed)
+    n = len(docs)
+    doc_ids = np.array([f"doc-{d}" for d in docs["doc_id"].to_pylist()])
+    texts = docs["text"].to_pandas().fillna("").to_numpy()
+
+    kinds_l, texts_l, refs_l, offs_l, offsets = [], [], [], [], [0]
+    media_kind_pool = np.array(KINDS[1:])
+    ref_ids = rng.permutation(n)
+    for i in range(n):
+        t = texts[i]
+        third = max(1, len(t) // 3)
+        pieces = [t[:third], t[third : 2 * third], t[2 * third :]] if t else []
+        pieces = [p for p in pieces if p]
+        ref = "media://" + _media_uuid(int(ref_ids[i]))
+        k = [*(["text"] * len(pieces)), str(media_kind_pool[i % 3])]
+        kinds_l.extend(k)
+        texts_l.extend([*pieces, None])
+        refs_l.extend([None] * len(pieces) + [ref])
+        offs_l.extend(range(len(pieces) + 1))
+        offsets.append(offsets[-1] + len(pieces) + 1)
+
+    span_type = pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
+    )
+    flat = pa.StructArray.from_arrays(
+        [
+            pa.array(kinds_l, type=pa.string()),
+            pa.array(texts_l, type=pa.string()),
+            pa.array(refs_l, type=pa.string()),
+            pa.array(offs_l, type=pa.int32()),
+        ],
+        fields=list(span_type),
+    )
+    spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+    partition_id = (np.arange(n) * n_parts // max(1, n)).astype(np.int32)
+    documents = pa.table(
+        {
+            "doc_id": pa.array(doc_ids),
+            "spans": spans,
+            "partition_id": pa.array(partition_id),
+        }
+    )
+    # catalog: all refs except a deterministic dangling subset
+    all_ref_ids = np.arange(n)
+    n_dangling = int(round(n * dangling_rate))
+    dangling = set(rng.choice(n, size=n_dangling, replace=False).tolist())
+    cat_ids = np.array([r for r in all_ref_ids if r not in dangling])
+    cat_refs = np.array(["media://" + _media_uuid(int(r)) for r in cat_ids])
+    catalog = pa.table(
+        {
+            "media_ref": pa.array(cat_refs),
+            "media_kind": pa.array(media_kind_pool[cat_ids % 3]),
+            "bytes": pa.array(rng.randint(1, 1_000_000, size=len(cat_ids)).astype(np.int64)),
+        }
+    )
+    dang_docs = sorted(doc_ids[np.isin(ref_ids, list(dangling))])
+    return GeneratedData(documents, catalog, {"dangling_media_ref": dang_docs})
+
+
 def _pick(rng, n, rate) -> np.ndarray:
     k = int(round(n * rate))
     return np.sort(rng.choice(n, size=k, replace=False)) if k else np.array([], dtype=np.int64)
