@@ -70,11 +70,11 @@ def q_col_stats(sf_dir: str) -> pa.Table:
 
 
 def q_distinct_exact(sf_dir: str) -> pa.Table:
-    """Exact distinct via salted two-phase groupby (shuffle check)."""
-    from json_schema_ray.stages.shuffle import salted_group_count
+    """Exact distinct via combiner + single hash-partitioned groupby."""
+    from json_schema_ray.stages.shuffle import exact_distinct_count
 
-    per_key = salted_group_count(_read(sf_dir, "documents", ["doc_id"]), "doc_id")
-    return pa.table({"n_distinct": pa.array([per_key.count()], type=pa.int64())})
+    n = exact_distinct_count(_read(sf_dir, "documents", ["doc_id"]), "doc_id")
+    return pa.table({"n_distinct": pa.array([n], type=pa.int64())})
 
 
 def q_dup_users(sf_dir: str) -> pa.Table:
@@ -260,10 +260,15 @@ def q_json_props(sf_dir: str) -> pa.Table:
 
 
 def q_dedup_exact(sf_dir: str) -> pa.Table:
-    from json_schema_ray.functions.dedup import exact_dedup
+    """Exact-dedup count: fingerprint stage + one distinct shuffle."""
+    from json_schema_ray.functions.text import add_fingerprint
+    from json_schema_ray.stages.shuffle import exact_distinct_count
 
-    kept = exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
-    return pa.table({"n_unique": pa.array([kept.count()], type=pa.int64())})
+    with_fp = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: add_fingerprint(b).select(["fingerprint"]), batch_format="pyarrow"
+    )
+    n = exact_distinct_count(with_fp, "fingerprint")
+    return pa.table({"n_unique": pa.array([n], type=pa.int64())})
 
 
 def q_token_stats(sf_dir: str) -> pa.Table:

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Benchmark harness.  Prints ONE JSON line:
+
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N}
+
+Headline = full validation pipeline (scan+kernels+sketches → salted
+uniqueness shuffle → referential semi-join → sketch merge → verdict
+writes) over a deterministic SF-scaled interleaved table (seed=42, no
+external data), mirroring /root/testdata sizing per TESTDATA.md.
+
+``--scaling``: runs the plain bench twice in FRESH processes at
+num_cpus=8 and 32 (sandbox proxy for N vs 4N nodes, see BASELINE.md)
+and reports both throughputs + scaling efficiency.
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1) picks the companion
+testdata scale; RAY_GRAFT_CPUS (default 32) sets ray.init num_cpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def prepare_bench_data(sf: float, seed: int = 42):
+    """Generate (once, cached in /tmp) the SF-scaled interleaved table:
+    n_docs = 6M × sf (sf0.1 → 600k docs ≈ 3M spans), 64 partitions."""
+    from json_schema_ray.sources.interleaved import generate, write_dataset
+
+    n_docs = max(1000, int(6_000_000 * sf))
+    root = f"/tmp/jsr_bench_sf{sf}_s{seed}"
+    marker = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        data = generate(n_docs=n_docs, seed=seed, n_parts=64, skew=0.5)
+        write_dataset(root, data)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root, n_docs
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sf = _sf_from_dir(sf_dir)
+    queries: dict[str, float] = {}
+
+    try:
+        root, n_docs = prepare_bench_data(sf)
+        # warm page cache: one untimed narrow read
+        import ray.data as rd
+
+        rd.read_parquet(os.path.join(root, "documents"), columns=["doc_id"]).count()
+
+        from json_schema_ray.pipelines.validation import run_validation
+
+        out_dir = f"/tmp/jsr_bench_out_{num_cpus}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        concurrency = max(2, int(num_cpus * 0.75))
+        t0 = time.time()
+        report = run_validation(
+            os.path.join(root, "documents"),
+            catalog_path=os.path.join(root, "media_catalog.parquet"),
+            out_dir=out_dir,
+            resume=False,
+            concurrency=concurrency,
+            batch_size=8192,
+            distributed_sketch_merge=True,
+        )
+        headline = time.time() - t0
+        queries["validate_total"] = round(headline, 3)
+        for k, v in report.timings.items():
+            queries[f"validate_{k}"] = round(v, 3)
+        queries["docs_per_sec"] = round(n_docs / headline, 1)
+
+        # companion ops over the driver testdata at the same SF
+        t = time.time()
+        import __ray_entry__ as em
+
+        em.q_range_check_lineitem(sf_dir)
+        queries["range_check_lineitem"] = round(time.time() - t, 3)
+
+        t = time.time()
+        em.q_dedup_exact(sf_dir)
+        queries["dedup_exact"] = round(time.time() - t, 3)
+
+        t = time.time()
+        em.q_ann_topk(sf_dir)
+        queries["ann_topk"] = round(time.time() - t, 3)
+
+        t = time.time()
+        em.q_distinct_exact(sf_dir)
+        queries["distinct_exact"] = round(time.time() - t, 3)
+
+        result = {
+            "metric": "validation_pipeline_wall_time",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "n_docs": n_docs,
+        }
+        return result
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same input + job at two parallelism levels in fresh processes
+    (cache pre-warmed by an untimed run) → scaling efficiency."""
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r8, r32 = one(8), one(32)
+    t8, t32 = r8["value"], r32["value"]
+    thr8 = r8["n_docs"] / t8
+    thr32 = r32["n_docs"] / t32
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "sec_8": t8,
+        "sec_32": t32,
+        "docs_per_sec_8": round(thr8, 1),
+        "docs_per_sec_32": round(thr32, 1),
+        "scaling_efficiency": round(eff, 3),
+        "sf": r32["sf"],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, num_cpus)))

@@ -130,19 +130,13 @@ def run_validation(
     # ---------------- stage 1: wide scan -------------------------------
     t = time.time()
     ds = rd.read_parquet(all_files)
-    # hive partition column is not inferred from explicit file lists: re-derive
-    file_pid = {f: pid for pid, files in todo.items() for f in files}
-    single_pid = list(todo.keys())[0] if len(todo) == 1 else None
-
     if "partition_id" not in ds.schema().names:
-        # one read task per partition keeps file→partition mapping exact
-        ds = rd.read_parquet(all_files, include_paths=True)
-
+        # flat (non-hive) layout: single-partition fallback — tag constant 0
         def tag_partition(batch: pa.Table) -> pa.Table:
-            paths = batch["path"].to_pylist()
-            pids = [file_pid.get(p, _pid_from_path(p)) for p in paths]
-            return batch.drop(["path"]).append_column(
-                "partition_id", pa.array(pids, type=pa.int32())
+            if "partition_id" in batch.column_names:
+                return batch
+            return batch.append_column(
+                "partition_id", pa.array(np.zeros(len(batch), dtype=np.int32))
             )
 
         ds = ds.map_batches(tag_partition, batch_format="pyarrow")
@@ -157,12 +151,14 @@ def run_validation(
     ).materialize()  # results ∝ violations + per-batch partials: small by design
     timings["scan_validate"] = time.time() - t
 
-    res_df_parts = results.filter(
-        lambda r: r["record_type"] == "partial"
-    )  # row-based filter OK: results stream is small
-    partials = res_df_parts.to_pandas()
+    def _typed(rt: str):
+        return results.map_batches(
+            lambda b, _rt=rt: b.filter(pa.compute.equal(b["record_type"], _rt)),
+            batch_format="pyarrow",
+        )
 
-    violations = results.filter(lambda r: r["record_type"] == "violation")
+    partials = _typed("partial").to_pandas()
+    violations = _typed("violation")
     n_viol = violations.count()
 
     # ---------------- stage 2: uniqueness shuffle ----------------------
@@ -177,7 +173,7 @@ def run_validation(
 
     # ---------------- stage 3: sketch merge ----------------------------
     t = time.time()
-    sk = results.filter(lambda r: r["record_type"] == "sketch")
+    sk = _typed("sketch")
     if distributed_sketch_merge:
         profile = merge_sketches_distributed(sk)
     else:

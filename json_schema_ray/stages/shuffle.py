@@ -66,28 +66,61 @@ def salted_group_count(ds: "ray.data.Dataset", key: str, n_salts: int = 16) -> "
 
 
 def find_duplicate_keys(ds: "ray.data.Dataset", key: str = "doc_id", n_salts: int = 16) -> pa.Table:
-    """doc_id-uniqueness check: keys appearing more than once, with the
-    partitions they touch.  Input dataset should already be pruned to
-    [key, partition_id] columns.  Output (small, ∝ #duplicates):
-    (key, partition_id, cnt, total_cnt)."""
-    per_part = salted_group_count(ds, key, n_salts)
+    """doc_id-uniqueness check: keys appearing more than once.  Input
+    dataset should already be pruned to [key(, partition_id)] columns.
 
-    def flag_dups(g: pd.DataFrame) -> pd.DataFrame:
-        total = g["cnt"].sum()
-        if total <= 1:
-            return g.iloc[0:0].assign(total_cnt=np.int64(0))
-        return g.assign(total_cnt=np.int64(total))
+    ONE shuffle: the per-batch combiner collapses within-batch repeats
+    (a hot key contributes ≤ one row per batch — THAT is the skew
+    mitigation for a unique-key check, where salting the final groupby
+    would not reduce reducer load further since each key's partials are
+    already ≤ n_batches rows), then a single ``groupby(key).Sum`` and a
+    vectorized dup filter.  ``salted_group_count`` remains the explicit
+    salted path for COARSE hot keys (few distinct values).
+    Output (small, ∝ #duplicates): (key, total_cnt)."""
 
-    dups = per_part.groupby(key).map_groups(flag_dups, batch_format="pandas")
-    out = dups.to_pandas()
+    def combiner(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_pandas()
+        cnt = k.groupby(k, dropna=False).size()
+        return pa.table(
+            {key: pa.array(cnt.index.to_numpy()), "cnt": pa.array(cnt.to_numpy(), type=pa.int64())}
+        )
+
+    totals = (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("cnt", alias_name="total_cnt"))
+    )
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return batch.filter(pc_.greater(batch["total_cnt"], 1))
+
+    out = totals.map_batches(only_dups, batch_format="pyarrow").to_pandas()
     if len(out) == 0:
         return pa.table(
             {
                 key: pa.array([], type=pa.string()),
-                "partition_id": pa.array([], type=pa.int32()),
-                "cnt": pa.array([], type=pa.int64()),
                 "total_cnt": pa.array([], type=pa.int64()),
             }
         )
-    out["partition_id"] = out["partition_id"].astype(np.int32)
-    return pa.Table.from_pandas(out[[key, "partition_id", "cnt", "total_cnt"]], preserve_index=False)
+    return pa.Table.from_pandas(out[[key, "total_cnt"]], preserve_index=False)
+
+
+def exact_distinct_count(ds: "ray.data.Dataset", key: str) -> int:
+    """Exact COUNT(DISTINCT key): per-batch unique combiner → one
+    groupby shuffle over the (collapsed) partials → row count."""
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return pa.table({key: pc_.unique(batch[key])})
+
+    from ray.data.aggregate import Count
+
+    return (
+        ds.map_batches(uniq, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Count(alias_name="n"))
+        .count()
+    )
