@@ -1,0 +1,85 @@
+"""ConstraintEngineBuilder — the user-extension surface.
+
+Mirrors the reference's ``SchemaBuilder`` extension points
+(``js/SchemaBuilder.java``, SURVEY.md §2.8) re-expressed for the Ray
+engine; compile-once → immutable, reusable, worker-shippable plans:
+
+| reference                                   | here                       |
+|---------------------------------------------|----------------------------|
+| registerFormatValidator (:306-323)          | add_format                 |
+| setRegexFactory (:293-297)                  | set_regex_flavor           |
+| registerResourceLoader (:103-133)           | register_schema (pre-load) |
+| external $ref resolvers (:153-156,:228-285) | register_schema(uri=...)   |
+| content validators (:189-208)               | set_content_processing     |
+| scheduler injection (:331-347)              | (Ray owns scheduling)      |
+| treatObjectAsArray (:163-166)               | treat_object_as_array      |
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from .kernels.dynamic import CompiledSchema, DynamicCompiler
+from .spec.schema import SchemaRegistry
+
+
+class ConstraintEngineBuilder:
+    """Not thread-safe (like the reference builder, README.md:302);
+    the compiled output IS thread-safe and reusable."""
+
+    def __init__(self) -> None:
+        self._registry = SchemaRegistry()
+        self._formats: dict[str, Callable[[str], bool]] = {}
+        self._regex_flavor: Callable[[str], Any] | None = None
+        self._dialect = "2020-12"
+        self._formats_assert = False
+        self._content = "default"
+        self._treat_object_as_array = False
+
+    def dialect(self, d: str) -> "ConstraintEngineBuilder":
+        assert d in ("2020-12", "2019-09", "draft7")
+        self._dialect = d
+        return self
+
+    def assert_formats(self, on: bool = True) -> "ConstraintEngineBuilder":
+        self._formats_assert = on
+        return self
+
+    def add_format(self, name: str, predicate: Callable[[str], bool]) -> "ConstraintEngineBuilder":
+        """Custom format validator (applies to strings; non-strings pass)."""
+        self._formats[name] = predicate
+        return self
+
+    def set_regex_flavor(self, compile_fn: Callable[[str], Any]) -> "ConstraintEngineBuilder":
+        """Custom regex engine: ``compile_fn(pattern)`` must return an
+        object with a ``search(str)`` method (``IRegexPredicateFactory``
+        analog)."""
+        self._regex_flavor = compile_fn
+        return self
+
+    def register_schema(self, uri: str, schema: Any) -> "ConstraintEngineBuilder":
+        """Pre-register an external schema resource so ``$ref: uri``
+        resolves without I/O (no network in compiled plans)."""
+        self._registry.register(schema, uri)
+        return self
+
+    def set_content_processing(self, mode: str) -> "ConstraintEngineBuilder":
+        assert mode in ("disable", "default", "encoding", "encoding_and_schema")
+        self._content = mode
+        return self
+
+    def treat_object_as_array(self, on: bool = True) -> "ConstraintEngineBuilder":
+        self._treat_object_as_array = on
+        return self
+
+    def compile(self, schema: Any, uri: str | None = None) -> CompiledSchema:
+        compiler = DynamicCompiler(
+            registry=self._registry,
+            dialect=self._dialect,
+            formats_assert=self._formats_assert,
+            content_processing=self._content,
+            format_predicates=self._formats or None,
+            regex_flavor=self._regex_flavor,
+        )
+        compiler.treat_object_as_array = self._treat_object_as_array
+        return compiler.compile(schema, uri)

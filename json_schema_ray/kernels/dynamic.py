@@ -171,6 +171,9 @@ class DynamicCompiler:
             self.formats.update(format_predicates)
         self._re_compile = regex_flavor or (lambda p: re.compile(p))
         self._memo: dict[tuple, list] = {}  # key -> [evaluator or None]
+        # experimental object→array coercion for `items`
+        # (SchemaBuilder.treatObjectAsArray, Items2020CompilerFactory:101-117)
+        self.treat_object_as_array = False
 
     # ------------------------------------------------------------- entry
 
@@ -669,7 +672,11 @@ class DynamicCompiler:
             elif items is not None:
                 rest = self._compile(items, base)
 
-        def v_items(v, sc, ip, _pre=tuple(prefix), _rest=rest):
+        coerce_obj = self.treat_object_as_array
+
+        def v_items(v, sc, ip, _pre=tuple(prefix), _rest=rest, _co=coerce_obj):
+            if _co and isinstance(v, dict):
+                v = list(v.values())
             if not isinstance(v, list):
                 return _OK
             out = Outcome(True, items=set())

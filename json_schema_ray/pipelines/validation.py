@@ -141,6 +141,23 @@ def run_validation(
 
         ds = ds.map_batches(tag_partition, batch_format="pyarrow")
 
+    # uniqueness runs CONCURRENTLY with the wide scan (independent narrow
+    # read, column-pruned to doc_id): the streaming executor interleaves
+    # both dataset executions, so the shuffle's latency hides behind the
+    # read-bound scan instead of serializing after it.
+    uniq_future = None
+    if check_unique:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _uniq_pool = ThreadPoolExecutor(max_workers=1)
+
+        def _run_uniqueness():
+            key_ds = rd.read_parquet(all_files, columns=["doc_id"])
+            return find_duplicate_keys(key_ds, "doc_id", n_salts=n_salts)
+
+        uniq_start = time.time()
+        uniq_future = _uniq_pool.submit(_run_uniqueness)
+
     results = ds.map_batches(
         SpanValidator,
         fn_constructor_kwargs={"catalog_ref": catalog_ref},
@@ -161,15 +178,14 @@ def run_validation(
     violations = _typed("violation")
     n_viol = violations.count()
 
-    # ---------------- stage 2: uniqueness shuffle ----------------------
+    # ---------------- stage 2: uniqueness shuffle (join) ----------------
     dup_tbl = None
-    if check_unique:
+    if uniq_future is not None:
         t = time.time()
-        key_ds = rd.read_parquet(all_files, columns=["doc_id"], include_paths=False)
-        # partition attribution for duplicates isn't needed for the verdict
-        # count; totals come from the salted groupby
-        dup_tbl = find_duplicate_keys(key_ds, "doc_id", n_salts=n_salts)
-        timings["uniqueness_shuffle"] = time.time() - t
+        dup_tbl = uniq_future.result()
+        _uniq_pool.shutdown(wait=False)
+        timings["uniqueness_join_wait"] = time.time() - t
+        timings["uniqueness_shuffle"] = time.time() - uniq_start
 
     # ---------------- stage 3: sketch merge ----------------------------
     t = time.time()

@@ -53,9 +53,11 @@ class GeneratedData:
     expected: dict = field(default_factory=dict)  # violation class -> sorted doc_ids
 
 
-def _make_text_pool(rng: np.random.RandomState, n: int = 4096) -> np.ndarray:
+def _make_text_pool(
+    rng: np.random.RandomState, n: int = 4096, words_per_span: tuple[int, int] = (3, 12)
+) -> np.ndarray:
     words = np.array(_WORDS)
-    lens = rng.randint(3, 12, size=n)
+    lens = rng.randint(words_per_span[0], words_per_span[1], size=n)
     return np.array([" ".join(rng.choice(words, size=ln)) for ln in lens])
 
 
@@ -70,6 +72,7 @@ def generate(
     skew: float = 0.0,
     n_parts: int = 8,
     catalog_size: int | None = None,
+    words_per_span: tuple[int, int] = (3, 12),
 ) -> GeneratedData:
     rng = np.random.RandomState(seed)
     rates = {**DEFAULT_RATES, **(rates or {})}
@@ -109,7 +112,7 @@ def generate(
     kinds = np.array(KINDS)[kind_idx].astype(object)
 
     # text for text spans, from pool
-    pool = _make_text_pool(rng)
+    pool = _make_text_pool(rng, words_per_span=words_per_span)
     texts = np.full(total, None, dtype=object)
     tmask = kind_idx == 0
     texts[tmask] = pool[rng.randint(0, len(pool), size=int(tmask.sum()))]
