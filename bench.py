@@ -33,27 +33,47 @@ def _sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.1
 
 
-def prepare_bench_data(sf: float, seed: int = 42):
+def prepare_bench_data(sf: float, seed: int = 42, mult: int = 1):
     """Generate (once, cached in /tmp) the SF-scaled interleaved table:
-    n_docs = 6M × sf (sf0.1 → 600k docs ≈ 3M spans), 64 partitions."""
+    n_docs = 6M × sf × mult (sf0.1 → 600k docs ≈ 3M spans), 64 partitions,
+    training-data-realistic span texts (40-80 words).
+
+    ``mult`` > 1 is the scaling-run corpus: the N→4N criterion measures
+    cluster-scaling behavior, which needs compute ≫ fixed session latency
+    (a real 4N-node cluster never runs a 600k-doc job).  Generated in
+    ``mult`` chunks to bound peak memory; chunk partition ids are shifted
+    so the hive layout stays disjoint."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from json_schema_ray.sources.interleaved import generate, write_dataset
 
-    n_docs = max(1000, int(6_000_000 * sf))
-    root = f"/tmp/jsr_bench_sf{sf}_s{seed}"
+    n_docs = max(1000, int(6_000_000 * sf)) * mult
+    root = f"/tmp/jsr_bench_sf{sf}_s{seed}" + (f"_m{mult}" if mult > 1 else "")
     marker = os.path.join(root, "_COMPLETE")
     if not os.path.exists(marker):
         shutil.rmtree(root, ignore_errors=True)
-        # training-data-realistic spans (~40-80 words each): per-doc work
-        # must dominate fixed stage latencies for scaling to be measurable
-        data = generate(n_docs=n_docs, seed=seed, n_parts=64, skew=0.5,
-                        words_per_span=(40, 80))
-        write_dataset(root, data)
+        n_parts_total = 64
+        chunks = max(1, mult)
+        per_chunk = n_docs // chunks
+        parts_per_chunk = max(1, n_parts_total // chunks)
+        for c in range(chunks):
+            data = generate(
+                n_docs=per_chunk, seed=seed + c, n_parts=parts_per_chunk,
+                skew=0.5, words_per_span=(40, 80),
+            )
+            docs = data.documents
+            shifted = pc.cast(pc.add(docs["partition_id"], c * parts_per_chunk), pa.int32())
+            data.documents = docs.set_column(
+                docs.column_names.index("partition_id"), "partition_id", shifted
+            )
+            write_dataset(root, data)
         with open(marker, "w") as f:
             f.write("ok")
     return root, n_docs
 
 
-def run_bench(sf_dir: str, num_cpus: int) -> dict:
+def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
     import ray
 
     ray.init(
@@ -73,7 +93,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries: dict[str, float] = {}
 
     try:
-        root, n_docs = prepare_bench_data(sf)
+        root, n_docs = prepare_bench_data(sf, mult=mult)
         # warm-up: full untimed read+map pass — warms the OS page cache AND
         # the Ray worker pool (imports, JIT) so the timed run measures
         # steady-state compute+shuffle, not process startup
@@ -144,8 +164,12 @@ def run_scaling(sf_dir: str) -> dict:
     (cache pre-warmed by an untimed run) → scaling efficiency."""
     import subprocess
 
+    mult = int(os.environ.get("GRAFT_SCALING_MULT", "10"))
+    prepare_bench_data(_sf_from_dir(sf_dir), mult=mult)  # pre-generate once
+
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_BENCH_MULT=str(mult))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -174,4 +198,5 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling(sf_dir)))
     else:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-        print(json.dumps(run_bench(sf_dir, num_cpus)))
+        mult = int(os.environ.get("GRAFT_BENCH_MULT", "1"))
+        print(json.dumps(run_bench(sf_dir, num_cpus, mult=mult)))

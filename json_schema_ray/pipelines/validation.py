@@ -40,6 +40,27 @@ from ..state.checkpoint import Manifest
 
 PLAN_FINGERPRINT = "span-plan-v1"  # bump when compiled constraints change
 
+# per-worker-process cache: a broadcast object is ray.get + pa.array-built
+# once per worker, then reused by every task that lands there
+_WORKER_VALIDATORS: dict = {}
+
+
+def _task_validator(catalog_ref):
+    """Stateless-task flavor of the SpanValidator stage: same kernels, but
+    scheduled as plain tasks over the (already warm) worker pool instead
+    of a fresh actor pool.  State amortization comes from the per-worker
+    module cache keyed by the broadcast ObjectRef."""
+
+    def validate_batch(batch: pa.Table) -> pa.Table:
+        key = catalog_ref.hex() if catalog_ref is not None else None
+        sv = _WORKER_VALIDATORS.get(key)
+        if sv is None:
+            sv = SpanValidator(catalog_ref=catalog_ref)
+            _WORKER_VALIDATORS[key] = sv
+        return sv(batch)
+
+    return validate_batch
+
 
 @dataclass
 class ValidationReport:
@@ -87,6 +108,7 @@ def run_validation(
     n_salts: int = 16,
     distributed_sketch_merge: bool = False,
     check_unique: bool = True,
+    use_actors: bool = False,
 ) -> ValidationReport:
     """Run the full validation job.  Ray must already be initialized
     (callers own the session; see __ray_entry__.py contract)."""
@@ -130,7 +152,9 @@ def run_validation(
     # ---------------- stage 1: wide scan -------------------------------
     t = time.time()
     ds = rd.read_parquet(all_files)
-    if "partition_id" not in ds.schema().names:
+    # hive layouts carry partition_id in the path (no schema fetch needed)
+    hive_layout = all(("partition_id=" in f) for f in all_files)
+    if not hive_layout and "partition_id" not in ds.schema().names:
         # flat (non-hive) layout: single-partition fallback — tag constant 0
         def tag_partition(batch: pa.Table) -> pa.Table:
             if "partition_id" in batch.column_names:
@@ -158,25 +182,34 @@ def run_validation(
         uniq_start = time.time()
         uniq_future = _uniq_pool.submit(_run_uniqueness)
 
-    results = ds.map_batches(
-        SpanValidator,
-        fn_constructor_kwargs={"catalog_ref": catalog_ref},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency or 4,
-        num_cpus=1,
-    ).materialize()  # results ∝ violations + per-batch partials: small by design
+    if use_actors:
+        # actor pool: catalog loaded once per actor in __init__
+        results_ds = ds.map_batches(
+            SpanValidator,
+            fn_constructor_kwargs={"catalog_ref": catalog_ref},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency or 4,
+            num_cpus=1,
+        )
+    else:
+        # task pool (default): elastic over all CPUs, reuses the warm worker
+        # processes (no per-actor cold start); the broadcast catalog is
+        # ray.get-cached per worker process (module-level cache)
+        results_ds = ds.map_batches(
+            _task_validator(catalog_ref),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    # results ∝ violations + per-batch partials: small by design — pull it
+    # to the driver ONCE and split locally (three Ray passes over a tiny
+    # dataset would cost 3× stage-launch latency)
+    res_df = results_ds.to_pandas()
     timings["scan_validate"] = time.time() - t
 
-    def _typed(rt: str):
-        return results.map_batches(
-            lambda b, _rt=rt: b.filter(pa.compute.equal(b["record_type"], _rt)),
-            batch_format="pyarrow",
-        )
-
-    partials = _typed("partial").to_pandas()
-    violations = _typed("violation")
-    n_viol = violations.count()
+    partials = res_df[res_df["record_type"] == "partial"]
+    viol_df = res_df[res_df["record_type"] == "violation"]
+    n_viol = len(viol_df)
 
     # ---------------- stage 2: uniqueness shuffle (join) ----------------
     dup_tbl = None
@@ -189,11 +222,10 @@ def run_validation(
 
     # ---------------- stage 3: sketch merge ----------------------------
     t = time.time()
-    sk = _typed("sketch")
-    if distributed_sketch_merge:
-        profile = merge_sketches_distributed(sk)
+    sk_df = res_df[res_df["record_type"] == "sketch"][["feature", "sketch_kind", "blob"]]
+    if distributed_sketch_merge and len(sk_df):
+        profile = merge_sketches_distributed(rd.from_pandas(sk_df.reset_index(drop=True)))
     else:
-        sk_df = sk.to_pandas()
         profile = merge_sketch_rows(sk_df) if len(sk_df) else {}
     timings["sketch_merge"] = time.time() - t
 
@@ -205,9 +237,19 @@ def run_validation(
     # ---------------- stage 5: write + verdicts + manifest --------------
     t = time.time()
     if viol_root and n_viol:
-        violations.drop_columns(
-            ["n_docs", "n_bad", "feature", "sketch_kind", "blob", "record_type"]
-        ).write_parquet(viol_root, partition_cols=["partition_id"])
+        import pyarrow.dataset as pads
+
+        viol_cols = ["partition_id", "doc_id", "span_index", "constraint_id", "error_type", "actual"]
+        viol_tbl = pa.Table.from_pandas(viol_df[viol_cols].reset_index(drop=True), preserve_index=False)
+        # violation volume is capped per (constraint × batch) → driver-side
+        # partitioned write; layout identical to a distributed writer's
+        pads.write_dataset(
+            viol_tbl,
+            viol_root,
+            format="parquet",
+            partitioning=pads.partitioning(pa.schema([("partition_id", pa.int32())]), flavor="hive"),
+            existing_data_behavior="overwrite_or_ignore",
+        )
 
     verdicts, per_part_metrics = _build_verdicts(partials, dup_tbl, todo.keys())
 
