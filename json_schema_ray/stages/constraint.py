@@ -1,0 +1,139 @@
+"""Generic table-constraint stage: auto vector/dynamic column validation.
+
+The user-facing engine surface for arbitrary tables (not just the
+interleaved flagship): a ``{column: json-schema}`` spec compiles ONCE —
+each column gets the **vectorized** kernel when its Arrow type supports
+every keyword (``kernels/vector.py``), else falls back to the
+**dynamic** evaluator (full JSON semantics; for string columns marked
+``json_columns`` the value is parsed per row first — the
+``events.props`` pattern).  Both paths produce identical verdicts
+(enforced by the corpus parity test).
+
+The Ray stage emits the same narrow combiner output as the flagship
+scan: per-constraint violation counts per batch + optional violation
+rows, so the shuffle stays O(constraints × batches).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels.dynamic import DynamicCompiler
+from ..kernels.vector import Kernel, UnsupportedVector, compile_vector
+
+
+def compile_auto(
+    schema: Any,
+    dtype: pa.DataType,
+    formats_assert: bool = True,
+    json_column: bool = False,
+    dialect: str = "2020-12",
+) -> tuple[Kernel, str]:
+    """Compile for a column → (kernel, path) where path ∈ {vector, dynamic,
+    dynamic-json}.  The kernel maps ``pa.Array -> np.ndarray[bool]``."""
+    if not json_column:
+        try:
+            return compile_vector(schema, dtype, formats_assert), "vector"
+        except UnsupportedVector:
+            pass
+    compiled = DynamicCompiler(dialect=dialect, formats_assert=formats_assert).compile(schema)
+
+    if json_column:
+
+        def k_dynamic_json(arr: pa.Array) -> np.ndarray:
+            vals = arr.to_pylist()
+            out = np.zeros(len(vals), dtype=bool)
+            for i, s in enumerate(vals):
+                if s is None:
+                    out[i] = compiled.is_valid(None)
+                    continue
+                try:
+                    out[i] = compiled.is_valid(json.loads(s))
+                except ValueError:
+                    out[i] = False
+            return out
+
+        return k_dynamic_json, "dynamic-json"
+
+    def k_dynamic(arr: pa.Array) -> np.ndarray:
+        vals = arr.to_pylist()
+        return np.fromiter((compiled.is_valid(v) for v in vals), dtype=bool, count=len(vals))
+
+    return k_dynamic, "dynamic"
+
+
+class TableConstraintPlan:
+    """Compiled plan over a table schema; immutable, worker-shippable."""
+
+    def __init__(
+        self,
+        spec: dict[str, Any],
+        table_schema: pa.Schema,
+        json_columns: set[str] | None = None,
+        formats_assert: bool = True,
+        dialect: str = "2020-12",
+    ):
+        json_columns = json_columns or set()
+        self.kernels: list[tuple[str, str, Kernel, str]] = []  # (constraint_id, col, kernel, path)
+        for col, sch in spec.items():
+            idx = table_schema.get_field_index(col)
+            if idx < 0:
+                raise KeyError(f"constraint column {col!r} not in table schema")
+            kern, path = compile_auto(
+                sch, table_schema.field(idx).type, formats_assert,
+                json_column=col in json_columns, dialect=dialect,
+            )
+            self.kernels.append((f"{col}/schema", col, kern, path))
+
+    @property
+    def paths(self) -> dict[str, str]:
+        return {cid: path for cid, _, _, path in self.kernels}
+
+    def masks(self, batch: pa.Table) -> dict[str, np.ndarray]:
+        return {cid: kern(batch[col]) for cid, col, kern, _ in self.kernels}
+
+    def row_ok(self, batch: pa.Table) -> np.ndarray:
+        ok = np.ones(len(batch), dtype=bool)
+        for _, col, kern, _ in self.kernels:
+            ok &= kern(batch[col])
+        return ok
+
+
+def check_dataset(
+    ds,
+    spec: dict[str, Any],
+    json_columns: set[str] | None = None,
+    formats_assert: bool = True,
+    dialect: str = "2020-12",
+) -> pa.Table:
+    """Distributed constraint check → (constraint_id, n_rows, n_bad).
+    Combiner emits one row per constraint per batch; tiny final groupby."""
+    import pyarrow.parquet  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    schema = ds.schema()
+    arrow_schema = pa.schema(
+        [(n, t) for n, t in zip(schema.names, schema.types)]
+    )
+    plan = TableConstraintPlan(spec, arrow_schema, json_columns, formats_assert, dialect)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        masks = plan.masks(batch)
+        return pa.table(
+            {
+                "constraint_id": pa.array(list(masks)),
+                "n_rows": pa.array([len(batch)] * len(masks), type=pa.int64()),
+                "n_bad": pa.array([int((~m).sum()) for m in masks.values()], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("constraint_id")
+        .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("n_bad", alias_name="n_bad"))
+    )

@@ -1,0 +1,71 @@
+"""Auto vector/dynamic table-constraint stage tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from json_schema_ray.stages.constraint import TableConstraintPlan, check_dataset, compile_auto
+
+
+def test_compile_auto_paths():
+    k, path = compile_auto({"minimum": 0}, pa.int64())
+    assert path == "vector"
+    # $ref forces dynamic
+    k, path = compile_auto({"$ref": "#/$defs/x", "$defs": {"x": {"minimum": 0}}}, pa.int64())
+    assert path == "dynamic"
+    assert k(pa.array([1, -1])).tolist() == [True, False]
+    # json column
+    k, path = compile_auto({"required": ["k"]}, pa.string(), json_column=True)
+    assert path == "dynamic-json"
+    # null cell == JSON null: `required` ignores non-objects (spec semantics)
+    assert k(pa.array(['{"k":1}', "{}", "not json", None])).tolist() == [True, False, False, True]
+
+
+def test_table_plan_mixed_paths():
+    schema = pa.schema([("a", pa.int64()), ("props", pa.string())])
+    plan = TableConstraintPlan(
+        {"a": {"minimum": 0}, "props": {"required": ["k"]}},
+        schema,
+        json_columns={"props"},
+    )
+    assert plan.paths == {"a/schema": "vector", "props/schema": "dynamic-json"}
+    batch = pa.table({"a": [1, -2], "props": ['{"k":1}', '{"k":2}']})
+    assert plan.row_ok(batch).tolist() == [True, False]
+
+
+def test_check_dataset(ray_session, sf_dir):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value", "props"])
+    out = (
+        check_dataset(
+            ds,
+            {
+                "event_type": {"enum": ["click", "view", "purchase", "signup"]},
+                "value": {"minimum": 0},
+                "props": {"type": "object", "required": ["k"],
+                           "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 99}}},
+            },
+            json_columns={"props"},
+        )
+        .to_pandas()
+        .set_index("constraint_id")
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    exp_enum = con.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet') "
+        "WHERE event_type NOT IN ('click','view','purchase','signup')"
+    ).fetchone()[0]
+    exp_props = con.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet') "
+        "WHERE CAST(json_extract(props,'$.k') AS INTEGER) NOT BETWEEN 0 AND 99 "
+        "OR json_extract(props,'$.k') IS NULL"
+    ).fetchone()[0]
+    assert out.loc["event_type/schema", "n_bad"] == exp_enum
+    assert out.loc["props/schema", "n_bad"] == exp_props
+    assert out.loc["value/schema", "n_bad"] == 0
