@@ -53,24 +53,44 @@ def prepare_bench_data(sf: float, seed: int = 42, mult: int = 1):
     marker = os.path.join(root, "_COMPLETE")
     if not os.path.exists(marker):
         shutil.rmtree(root, ignore_errors=True)
-        n_parts_total = 64
         chunks = max(1, mult)
-        per_chunk = n_docs // chunks
-        parts_per_chunk = max(1, n_parts_total // chunks)
-        for c in range(chunks):
-            data = generate(
-                n_docs=per_chunk, seed=seed + c, n_parts=parts_per_chunk,
-                skew=0.5, words_per_span=(40, 80),
-            )
-            docs = data.documents
-            shifted = pc.cast(pc.add(docs["partition_id"], c * parts_per_chunk), pa.int32())
-            data.documents = docs.set_column(
-                docs.column_names.index("partition_id"), "partition_id", shifted
-            )
+        if chunks == 1:
+            data = generate(n_docs=n_docs, seed=seed, n_parts=64, skew=0.5,
+                            words_per_span=(40, 80))
             write_dataset(root, data)
+        else:
+            # chunks are independent → generate in parallel worker processes
+            import multiprocessing as mp
+
+            per_chunk = n_docs // chunks
+            with mp.get_context("spawn").Pool(min(12, chunks)) as pool:
+                pool.starmap(
+                    _gen_chunk,
+                    [(root, per_chunk, seed, c, chunks) for c in range(chunks)],
+                )
         with open(marker, "w") as f:
             f.write("ok")
     return root, n_docs
+
+
+def _gen_chunk(root: str, per_chunk: int, seed: int, c: int, chunks: int) -> None:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from json_schema_ray.sources.interleaved import generate, write_dataset
+
+    n_parts_total = 64
+    parts_per_chunk = max(1, n_parts_total // chunks)
+    data = generate(
+        n_docs=per_chunk, seed=seed + c, n_parts=parts_per_chunk,
+        skew=0.5, words_per_span=(40, 80),
+    )
+    docs = data.documents
+    shifted = pc.cast(pc.add(docs["partition_id"], c * parts_per_chunk), pa.int32())
+    data.documents = docs.set_column(
+        docs.column_names.index("partition_id"), "partition_id", shifted
+    )
+    write_dataset(root, data)
 
 
 def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
