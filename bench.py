@@ -25,6 +25,13 @@ import shutil
 import sys
 import time
 
+# glibc: serve large allocations from the arena and never trim it back —
+# first-touch page faults are pathologically slow on this host, so reuse
+# beats returning memory (see json_schema_ray._configure_memory).
+# Must be set before worker processes spawn (they inherit the env).
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     import re
@@ -59,15 +66,21 @@ def prepare_bench_data(sf: float, seed: int = 42, mult: int = 1):
                             words_per_span=(40, 80))
             write_dataset(root, data)
         else:
-            # chunks are independent → generate in parallel worker processes
-            import multiprocessing as mp
+            # chunks are independent → fan out as Ray tasks (workers write
+            # their partition files directly; same-machine disk)
+            import ray
 
+            owns = not ray.is_initialized()
+            if owns:
+                ray.init(address="local", include_dashboard=False, logging_level="ERROR")
             per_chunk = n_docs // chunks
-            with mp.get_context("spawn").Pool(min(12, chunks)) as pool:
-                pool.starmap(
-                    _gen_chunk,
-                    [(root, per_chunk, seed, c, chunks) for c in range(chunks)],
-                )
+            # num_cpus=4 caps concurrency at ~cores/4: chunk generation is
+            # memory-bandwidth-heavy (millions of Python strings) and
+            # oversubscribing it thrashes (measured ~10× slowdown at 32-way)
+            gen = ray.remote(num_cpus=4)(_gen_chunk)
+            ray.get([gen.remote(root, per_chunk, seed, c, chunks) for c in range(chunks)])
+            if owns:
+                ray.shutdown()
         with open(marker, "w") as f:
             f.write("ok")
     return root, n_docs

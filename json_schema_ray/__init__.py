@@ -18,6 +18,24 @@ Public API:
   ``sources`` — synthetic interleaved data.
 """
 
+def _configure_memory() -> None:
+    """Keep allocator pages resident: on hosts where first-touch page
+    faults are slow (measured ~100 MB/s on this VM vs GB/s typical),
+    returning freed pages to the OS makes every batch re-fault its
+    working set.  A long jemalloc decay lets each worker fault its
+    buffers once and reuse them — measured 10-15× on concurrent
+    Arrow-buffer-building stages.  Runs in every process that imports
+    the package (driver and all Ray workers)."""
+    try:
+        import pyarrow as _pa
+
+        _pa.jemalloc_set_decay_ms(1_000_000)
+    except (ImportError, NotImplementedError, OSError):
+        pass
+
+
+_configure_memory()
+
 from .builder import ConstraintEngineBuilder
 from .kernels.dynamic import CompiledSchema, DynamicCompiler, compile_schema
 from .kernels.vector import UnsupportedVector, compile_table_plan, compile_vector

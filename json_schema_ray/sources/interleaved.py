@@ -107,18 +107,26 @@ def generate(
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(n_spans, out=offsets[1:])
 
-    # kinds: 70% text, rest media
-    kind_idx = rng.choice(4, size=total, p=[0.7, 0.15, 0.1, 0.05])
-    kinds = np.array(KINDS)[kind_idx].astype(object)
+    # All string columns are assembled by POOL INDEX and materialized with
+    # one vectorized ``pc.take`` each (null index → null) — building
+    # millions of Python string objects and converting them to Arrow is
+    # 10-30× slower, catastrophically so under concurrent generation.
 
-    # text for text spans, from pool
+    # kinds: 70% text, rest media; pool slot 4 = the bad-kind injection
+    kind_idx = rng.choice(4, size=total, p=[0.7, 0.15, 0.1, 0.05]).astype(np.int32)
+    kind_pool = pa.array(list(KINDS) + ["bogus"])
+
+    # text pool indices (-1 → null)
     pool = _make_text_pool(rng, words_per_span=words_per_span)
-    texts = np.full(total, None, dtype=object)
+    text_idx = np.full(total, -1, dtype=np.int32)
     tmask = kind_idx == 0
-    texts[tmask] = pool[rng.randint(0, len(pool), size=int(tmask.sum()))]
+    text_idx[tmask] = rng.randint(0, len(pool), size=int(tmask.sum()))
 
-    # media refs for media spans (zipf-skewed pick when requested)
-    refs = np.full(total, None, dtype=object)
+    # media-ref pool = catalog ++ dangling ++ [malformed]; media spans pick
+    # catalog entries (zipf-skewed when requested)
+    ref_pool = pa.array(list(all_refs) + ["media://not-a-valid-uuid"])
+    MALFORMED = len(all_refs)
+    ref_idx = np.full(total, -1, dtype=np.int32)
     mmask = ~tmask
     n_media = int(mmask.sum())
     if n_media:
@@ -127,7 +135,7 @@ def generate(
             pick = np.minimum(ranks, catalog_size - 1)
         else:
             pick = rng.randint(0, catalog_size, size=n_media)
-        refs[mmask] = catalog_refs[pick]
+        ref_idx[mmask] = pick
 
     # offsets strictly increasing within doc: per-span position index
     span_offsets = (np.arange(total) - np.repeat(offsets[:-1], n_spans)).astype(np.int32)
@@ -148,31 +156,31 @@ def generate(
     bad_kind_docs = _pick_docs_with_spans(rng, n_spans, rates["bad_kind"])
     for d in bad_kind_docs:
         s = offsets[d] + rng.randint(0, n_spans[d])
-        kinds[s] = "bogus"
+        kind_idx[s] = 4  # "bogus"
     expected["bad_kind"] = sorted(doc_ids[bad_kind_docs])
 
     bad_fmt_docs = _pick_docs_with_spans(rng, n_spans, rates["bad_media_ref_format"])
     for d in bad_fmt_docs:
         s = offsets[d] + rng.randint(0, n_spans[d])
-        kinds[s] = "image"
-        texts[s] = None
-        refs[s] = "media://not-a-valid-uuid"
+        kind_idx[s] = 1  # image
+        text_idx[s] = -1
+        ref_idx[s] = MALFORMED
     expected["bad_media_ref_format"] = sorted(doc_ids[bad_fmt_docs])
 
     dang_docs = _pick_docs_with_spans(rng, n_spans, rates["dangling_media_ref"])
     for d in dang_docs:
         s = offsets[d] + rng.randint(0, n_spans[d])
-        kinds[s] = "image"
-        texts[s] = None
-        refs[s] = dangling_refs[rng.randint(0, len(dangling_refs))]
+        kind_idx[s] = 1  # image
+        text_idx[s] = -1
+        ref_idx[s] = catalog_size + rng.randint(0, n_dangling_pool)
     expected["dangling_media_ref"] = sorted(doc_ids[dang_docs])
 
     null_text_docs = _pick_docs_with_spans(rng, n_spans, rates["null_text"])
     for d in null_text_docs:
         s = offsets[d] + rng.randint(0, n_spans[d])
-        kinds[s] = "text"
-        texts[s] = None
-        refs[s] = None
+        kind_idx[s] = 0  # text
+        text_idx[s] = -1
+        ref_idx[s] = -1
     expected["null_text"] = sorted(doc_ids[null_text_docs])
 
     dis_docs = _pick_docs_with_spans(rng, n_spans, rates["offset_disorder"], min_spans=2)
@@ -192,11 +200,17 @@ def generate(
             ("offset", pa.int32()),
         ]
     )
+    import pyarrow.compute as pc
+
+    def _take(pool_arr: pa.Array, idx: np.ndarray) -> pa.Array:
+        return pc.take(pool_arr, pa.array(idx, mask=idx < 0))
+
+    pool_pa = pa.array(pool.tolist())
     flat = pa.StructArray.from_arrays(
         [
-            pa.array(kinds, type=pa.string()),
-            pa.array(texts, type=pa.string()),
-            pa.array(refs, type=pa.string()),
+            _take(kind_pool, kind_idx),
+            _take(pool_pa, text_idx),
+            _take(ref_pool, ref_idx),
             pa.array(span_offsets, type=pa.int32()),
         ],
         fields=list(span_type),
