@@ -197,7 +197,7 @@ def run_scaling(sf_dir: str) -> dict:
     (cache pre-warmed by an untimed run) → scaling efficiency."""
     import subprocess
 
-    mult = int(os.environ.get("GRAFT_SCALING_MULT", "50"))
+    mult = int(os.environ.get("GRAFT_SCALING_MULT", "10"))
     prepare_bench_data(_sf_from_dir(sf_dir), mult=mult)  # pre-generate once
 
     def one(ncpu: int) -> dict:
