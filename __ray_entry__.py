@@ -329,6 +329,89 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     return got.select(["query_id", "vec_id", "rank"])
 
 
+def q_window_events(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour event-time windows: Ray Data has no native windows
+    (guide: batch engine), so the window key is computed vectorized and
+    aggregated with a plain groupby — the standard mapping."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())  # microseconds since epoch
+        win = pc.divide(us, 3_600_000_000)
+        return pa.table({"win": pc.cast(win, pa.int64()), "value": batch["value"]})
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby("win")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_asof_prior_click(sf_dir: str) -> pa.Table:
+    """Event-time as-of join WITHIN the events stream: for each purchase,
+    the user's most recent prior click.  Hash-partition by user
+    (groupby), pandas merge_asof per sorted group — the documented
+    as-of/range-join pattern.  Partitioning assumption: one user's
+    events fit one group."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        clicks = g[g["event_type"] == "click"]
+        buys = g[g["event_type"] == "purchase"]
+        if len(buys) == 0:
+            return pd.DataFrame({"event_id": [], "prior_click_id": []})
+        if len(clicks) == 0:
+            return pd.DataFrame(
+                {"event_id": buys["event_id"].to_numpy(), "prior_click_id": [None] * len(buys)}
+            )
+        m = pd.merge_asof(
+            buys[["ts", "event_id"]],
+            clicks[["ts", "event_id"]].rename(columns={"event_id": "prior_click_id"}),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        return m[["event_id", "prior_click_id"]]
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["prior_click_id"] = out["prior_click_id"].astype("Int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_session_windows(sf_dir: str) -> pa.Table:
+    """Gap-based sessionization (30-min inactivity gap) per user —
+    groupby(key).map_groups over ts-sorted groups (streaming-shaped
+    workload mapping from the guide)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff() > pd.Timedelta(minutes=30)
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [np.int64(1 + int(gaps.sum()))]}
+        )
+
+    return (
+        ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    )
+
+
 # ------------------------------ rows-only (no SQL oracle) -------------------
 
 
@@ -471,6 +554,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "groupby_events": q_groupby_events,
         "ts_range": q_ts_range,
         "ann_topk": q_ann_topk,
+        "window_events": q_window_events,
+        "asof_prior_click": q_asof_prior_click,
+        "session_windows": q_session_windows,
         # rows-only checks (non-SQL-expressible / approximate)
         "hll_cardinality": q_hll_cardinality,
         "minhash_near_dup": q_minhash_near_dup,
@@ -552,6 +638,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "ts_range": "SELECT min(ts) AS ts_min, max(ts) AS ts_max, count(*) AS n FROM events",
+        "window_events": """
+            SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY win
+        """,
+        "asof_prior_click": """
+            SELECT p.event_id,
+                   (SELECT c.event_id FROM events c
+                     WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS prior_click_id
+            FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id
+        """,
+        "session_windows": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events)
+            SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions FROM d GROUP BY user_id
+        """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 2),
             s AS (SELECT q.qid AS query_id, e.vec_id,

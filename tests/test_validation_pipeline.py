@@ -158,3 +158,12 @@ def test_drift_detection(ray_session, tmp_path):
     d = r_same.drift.to_pandas().set_index("feature")
     assert not d.loc["n_spans", "drifted"]
     assert not d.loc["text_len", "drifted"]
+
+    # shifted sample: text lengths scaled ×~1.5 (longer spans) → drift fires
+    shifted = generate(n_docs=400, seed=3, rates=rates, n_parts=2, words_per_span=(5, 18))
+    hp = write_dataset(str(tmp_path / "shifted"), shifted)
+    r_shift = run_validation(hp["documents"], catalog_path=hp["catalog"],
+                             out_dir=str(tmp_path / "shift_out"),
+                             baseline_profile=baseline, concurrency=2)
+    ds_ = r_shift.drift.to_pandas().set_index("feature")
+    assert ds_.loc["text_len", "drifted"]
