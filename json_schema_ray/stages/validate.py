@@ -182,44 +182,57 @@ class SpanValidator:
 
         doc_id_np = doc_id.to_numpy(zero_copy_only=False)
 
+        # violation rows are built columnar (numpy gather + one pa chunk per
+        # constraint) — no per-row Python even under adversarial violation
+        # rates; `cap` bounds rows per (constraint × batch), counts stay exact
+        viol_chunks: list[pa.Table] = []
+
+        def emit_violations(cid, etype, bad_doc_idx, span_index, actual_strs):
+            k = len(bad_doc_idx)
+            viol_chunks.append(
+                pa.table(
+                    {
+                        "record_type": pa.array(["violation"] * k),
+                        "partition_id": pa.array(pid[bad_doc_idx], type=pa.int32()),
+                        "doc_id": pa.array(doc_id_np[bad_doc_idx], type=pa.string()),
+                        "span_index": pa.array(span_index, type=pa.int32()),
+                        "constraint_id": pa.array([cid] * k),
+                        "error_type": pa.array([etype] * k),
+                        "actual": actual_strs
+                        if actual_strs is not None
+                        else pa.array([None] * k, type=pa.string()),
+                        "n_docs": pa.array(np.zeros(k, dtype=np.int64)),
+                        "n_bad": pa.array(np.zeros(k, dtype=np.int64)),
+                        "feature": pa.array([None] * k, type=pa.string()),
+                        "sketch_kind": pa.array([None] * k, type=pa.string()),
+                        "blob": pa.array([None] * k, type=pa.binary()),
+                    }
+                )
+            )
+
         for cid, etype, ok, actual_arr in span_checks:
             bad = np.where(~ok)[0]
             bad_docs = np.zeros(n, dtype=bool)
             if len(bad):
                 bad_docs[doc_idx_of_span[bad]] = True
                 capped = bad[: self.cap] if self.cap else bad
+                actual = None
                 if actual_arr is not None:
-                    actual_vals = actual_arr.slice(lo, hi - lo).take(pa.array(capped)).to_pylist()
-                else:
-                    actual_vals = [None] * len(capped)
-                for j, s in enumerate(capped):
-                    rows.append(
-                        {
-                            "record_type": "violation",
-                            "partition_id": int(pid[doc_idx_of_span[s]]),
-                            "doc_id": doc_id_np[doc_idx_of_span[s]],
-                            "span_index": int(span_pos[s]),
-                            "constraint_id": cid,
-                            "error_type": etype,
-                            "actual": None if actual_vals[j] is None else str(actual_vals[j]),
-                        }
+                    actual = pc.cast(
+                        actual_arr.slice(lo, hi - lo).take(pa.array(capped)), pa.string()
                     )
+                emit_violations(
+                    cid, etype, doc_idx_of_span[capped],
+                    span_pos[capped].astype(np.int32), actual,
+                )
             per_constraint_bad_docs[cid] = bad_docs
 
         for cid, etype, ok in doc_checks:
             bad = np.where(~ok)[0]
-            capped = bad[: self.cap] if self.cap else bad
-            for d in capped:
-                rows.append(
-                    {
-                        "record_type": "violation",
-                        "partition_id": int(pid[d]),
-                        "doc_id": doc_id_np[d],
-                        "span_index": -1,
-                        "constraint_id": cid,
-                        "error_type": etype,
-                        "actual": None,
-                    }
+            if len(bad):
+                capped = bad[: self.cap] if self.cap else bad
+                emit_violations(
+                    cid, etype, capped, np.full(len(capped), -1, dtype=np.int32), None
                 )
             bd = np.zeros(n, dtype=bool)
             bd[bad] = True
@@ -277,4 +290,9 @@ class SpanValidator:
                     }
                 )
 
-        return _rows_to_table(rows)
+        out = _rows_to_table(rows)  # partial + sketch rows (few per batch)
+        if viol_chunks:
+            out = pa.concat_tables(
+                [t.cast(RESULT_SCHEMA) for t in viol_chunks] + [out.cast(RESULT_SCHEMA)]
+            )
+        return out
