@@ -162,6 +162,16 @@ def minhash_lsh_candidates(
         lambda b: _band_rows(b, bands, rows_per_band, id_col), batch_format="pyarrow"
     )
 
+    # most buckets are singletons: pre-filter to colliding buckets with a
+    # vectorized duplicated() pass (driver-side; the banded table is narrow
+    # — one row per (doc, band)), then pair within the few collisions.
+    # At cluster scale swap the collect for groupby(band_hash)+map_groups
+    # over the duplicate-filtered subset.
+    bdf = banded.to_pandas()
+    key = bdf["band"].astype(np.int64) * (1 << 32) + bdf["band_hash"].astype(np.uint64).astype(np.int64)
+    dupmask = pd.Series(key).duplicated(keep=False).to_numpy()
+    collide = bdf[dupmask]
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(g[id_col]))
         if len(ids) <= 1:
@@ -169,12 +179,14 @@ def minhash_lsh_candidates(
         a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
         return pd.DataFrame({"id_a": list(a), "id_b": list(b)})
 
-    pairs = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    if len(collide):
+        pairs = (
+            collide.groupby(["band", "band_hash"], group_keys=False)[[id_col]]
+            .apply(bucket_pairs)
+            .drop_duplicates()
+        )
+    else:
+        pairs = pd.DataFrame({"id_a": [], "id_b": []})
     if len(pairs) == 0:
         return pa.table({"id_a": [], "id_b": [], "est_jaccard": pa.array([], type=pa.float64())})
 
