@@ -283,12 +283,17 @@ def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 
         keep = ham <= max_hamming
         return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]})
 
-    pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    # singleton-bucket prefilter (vectorized), pair only within collisions
+    bdf = sigs.map_batches(explode, batch_format="pyarrow").to_pandas()
+    key = bdf["band"].astype(np.int64) * (1 << 16) + bdf["band_val"].astype(np.int64)
+    collide = bdf[pd.Series(key).duplicated(keep=False).to_numpy()]
+    if len(collide):
+        pairs = (
+            collide.groupby(["band", "band_val"], group_keys=False)[[id_col, "simhash"]]
+            .apply(bucket_pairs)
+        )
+    else:
+        pairs = pd.DataFrame({"id_a": [], "id_b": [], "hamming": pd.Series([], dtype=np.int64)})
     if len(pairs):
         pairs["lo"] = np.minimum(pairs["id_a"], pairs["id_b"])
         pairs["hi"] = np.maximum(pairs["id_a"], pairs["id_b"])
@@ -394,12 +399,16 @@ def embedding_near_dup(
         keep = sim[ia, ib] >= threshold
         return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": sim[ia[keep], ib[keep]]})
 
-    pairs = (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby(["table_id", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    bdf = ds.map_batches(bucketize, batch_format="pyarrow").to_pandas()
+    key = bdf["table_id"].astype(np.int64) * (1 << 32) + bdf["bucket"].astype(np.int64)
+    collide = bdf[pd.Series(key).duplicated(keep=False).to_numpy()]
+    if len(collide):
+        pairs = (
+            collide.groupby(["table_id", "bucket"], group_keys=False)[[id_col, "emb_norm"]]
+            .apply(bucket_pairs)
+        )
+    else:
+        pairs = pd.DataFrame({"id_a": [], "id_b": [], "cosine": pd.Series([], dtype=float)})
     if len(pairs):
         pairs["lo"] = np.minimum(pairs["id_a"], pairs["id_b"])
         pairs["hi"] = np.maximum(pairs["id_a"], pairs["id_b"])
