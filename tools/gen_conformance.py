@@ -651,6 +651,71 @@ FILES["content"] = [
       ("invalid b64 passes", "not%%base64", True), content="default"),
 ]
 
+FILES["unevaluated_advanced"] = [
+    g("unevaluatedProperties sees $ref annotations",
+      {"$ref": "#/$defs/base", "unevaluatedProperties": False,
+       "$defs": {"base": {"properties": {"foo": {"type": "string"}}}}},
+      ("ref-evaluated prop ok", {"foo": "a"}, True),
+      ("extra prop fails", {"foo": "a", "bar": 1}, False)),
+    g("unevaluatedProperties with dependentSchemas annotations",
+      {"dependentSchemas": {"foo": {"properties": {"bar": {"type": "integer"}}}},
+       "properties": {"foo": {}},
+       "unevaluatedProperties": False},
+      ("dependent-evaluated ok", {"foo": 1, "bar": 2}, True),
+      ("bar unevaluated when foo absent", {"bar": 2}, False)),
+    g("unevaluatedItems sees $ref annotations",
+      {"$ref": "#/$defs/pre", "unevaluatedItems": False,
+       "$defs": {"pre": {"prefixItems": [{"type": "string"}]}}},
+      ("covered", ["a"], True), ("extra", ["a", "b"], False)),
+    g("nested oneOf in allOf with unevaluatedProperties",
+      {"allOf": [{"oneOf": [{"properties": {"a": {"const": 1}}, "required": ["a"]},
+                             {"properties": {"b": {"const": 2}}, "required": ["b"]}]}],
+       "unevaluatedProperties": False},
+      ("branch a", {"a": 1}, True), ("branch b", {"b": 2}, True),
+      ("extra prop", {"a": 1, "c": 3}, False)),
+    g("contains annotations via allOf feed unevaluatedItems",
+      {"allOf": [{"contains": {"type": "string"}}], "unevaluatedItems": {"type": "integer"}},
+      ("strings evaluated, ints allowed", ["x", 1, "y"], True),
+      ("float neither contained nor integer", ["x", 1.5], False)),
+]
+
+FILES["format_idn"] = [
+    g("idn-hostname", {"format": "idn-hostname"},
+      ("ascii ok", "example.com", True),
+      ("unicode label", "bücher.example", True),
+      ("empty", "", False),
+      ("underscore invalid", "ex_ample.com", False),
+      formats_assert=True),
+    g("idn-email", {"format": "idn-email"},
+      ("ascii ok", "joe@example.com", True),
+      ("unicode domain", "joe@bücher.example", True),
+      ("no at", "joeexample.com", False),
+      formats_assert=True),
+    g("iri", {"format": "iri"},
+      ("unicode path ok", "https://example.com/ö/path?q=1", True),
+      ("relative no", "/nur/pfad", False),
+      formats_assert=True),
+    g("iri-reference", {"format": "iri-reference"},
+      ("relative ok", "/nur/pfad/ö", True),
+      ("backslash no", "\\\\share", False),
+      formats_assert=True),
+]
+
+FILES["combinator_nesting"] = [
+    g("anyOf inside allOf", {"allOf": [{"anyOf": [{"type": "integer"}, {"minLength": 3}]},
+                                        {"anyOf": [{"maximum": 10}, {"type": "string"}]}]},
+      ("int in both", 5, True), ("big int fails second", 50, False),
+      ("long string", "abcd", True), ("short string", "ab", False)),
+    g("not of anyOf", {"not": {"anyOf": [{"type": "integer"}, {"type": "boolean"}]}},
+      ("string ok", "x", True), ("int no", 3, False), ("bool no", True, False)),
+    g("if over object with nested ref",
+      {"$defs": {"has_a": {"required": ["a"]}},
+       "if": {"$ref": "#/$defs/has_a"}, "then": {"properties": {"a": {"type": "integer"}}},
+       "else": {"required": ["b"]}},
+      ("a int", {"a": 1}, True), ("a string", {"a": "x"}, False),
+      ("no a with b", {"b": 1}, True), ("neither", {}, False)),
+]
+
 FILES["defs"] = [
     g("$defs only shapes, never validates", {"$defs": {"foo": {"type": "integer"}}},
       ("anything", "string", True)),
