@@ -109,6 +109,7 @@ def run_validation(
     distributed_sketch_merge: bool = False,
     check_unique: bool = True,
     use_actors: bool = False,
+    referential_strategy: str = "broadcast",  # "broadcast" | "hash" (large catalogs)
 ) -> ValidationReport:
     """Run the full validation job.  Ray must already be initialized
     (callers own the session; see __ray_entry__.py contract)."""
@@ -143,9 +144,11 @@ def run_validation(
 
     all_files = [f for files in todo.values() for f in files]
 
-    # broadcast the media catalog once (ray.put), read per actor in __init__
+    # broadcast the media catalog once (ray.put), read per worker; with
+    # referential_strategy="hash" the scan skips the check and the
+    # hash-partitioned semi-join stage supplies the dangling rows instead
     catalog_ref = None
-    if catalog_path:
+    if catalog_path and referential_strategy == "broadcast":
         cat_refs = pq.read_table(catalog_path, columns=["media_ref"])["media_ref"].to_pylist()
         catalog_ref = ray.put(cat_refs)
 
@@ -209,6 +212,45 @@ def run_validation(
 
     partials = res_df[res_df["record_type"] == "partial"]
     viol_df = res_df[res_df["record_type"] == "violation"]
+
+    # -------- hash-partitioned referential semi-join (large catalogs) ----
+    if catalog_path and referential_strategy == "hash":
+        from ..stages.referential import hash_referential_dangling
+
+        dangling = hash_referential_dangling(ds, catalog_path).to_pandas()
+        if len(dangling):
+            add = dangling.assign(
+                record_type="violation",
+                constraint_id="spans[].media_ref/referential",
+                error_type="REFERENTIAL",
+                actual=dangling["media_ref"],
+                n_docs=0, n_bad=0, feature=None, sketch_kind=None, blob=None,
+            ).drop(columns=["media_ref"])
+            viol_df = pd.concat([viol_df, add[viol_df.columns]], ignore_index=True)
+            # partial adjustments: per-constraint counts + __all__ union
+            # (docs not already flagged by another constraint)
+            already_bad = set(
+                zip(res_df.loc[res_df["record_type"] == "violation", "partition_id"],
+                    res_df.loc[res_df["record_type"] == "violation", "doc_id"])
+            )
+            extra_rows = []
+            per_part = dangling.groupby("partition_id")
+            for p, g in per_part:
+                docs = set(g["doc_id"])
+                newly_bad = {d for d in docs if (p, d) not in already_bad}
+                extra_rows.append(
+                    {"record_type": "partial", "partition_id": p,
+                     "constraint_id": "spans[].media_ref/referential",
+                     "n_docs": 0, "n_bad": len(docs)}
+                )
+                if newly_bad:
+                    extra_rows.append(
+                        {"record_type": "partial", "partition_id": p,
+                         "constraint_id": "__all__", "n_docs": 0, "n_bad": len(newly_bad)}
+                    )
+            partials = pd.concat(
+                [partials, pd.DataFrame(extra_rows)], ignore_index=True
+            )
     n_viol = len(viol_df)
 
     # ---------------- stage 2: uniqueness shuffle (join) ----------------

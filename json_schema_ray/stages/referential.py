@@ -1,0 +1,119 @@
+"""Referential check of span media_refs against the media catalog.
+
+Two physical plans (SURVEY.md §4: join strategy):
+
+- **broadcast** (default): catalog key set `ray.put` once, `pc.is_in`
+  inside the wide scan (stages/validate.py) — zero shuffle.  Right
+  whenever the catalog fits worker memory (the 100 TB case: catalogs are
+  ~10⁶-10⁹ keys ≪ 10¹² docs).
+- **hash** (this module): when the catalog itself is too big to
+  broadcast, bucket BOTH sides on ``hash(media_ref) % B`` and anti-join
+  per bucket — an explicit hash-partitioned semi-join
+  (FIXTURES.md §2 "large mode").  The span side is a narrow flatten
+  (only doc_id/partition/span_index/ref leave the scan); the result is
+  the small dangling-row table, merged into violations downstream.
+
+Skew note: a hot media_ref concentrates its span rows in one bucket;
+the per-bucket work is an `isin` over that bucket's rows (linear), so a
+hot key costs O(its rows) — no quadratic blowup; buckets can be widened
+(B) if a single bucket's ref rows exceed worker memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..kernels.formats import ANCHORED_REGEX
+
+MEDIA_KINDS = ("image", "audio", "video")
+MEDIA_REF_RE = ANCHORED_REGEX["media-ref"]
+
+
+def _span_refs(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Flatten media spans → (doc_id, partition_id, span_index, media_ref,
+    bucket) for well-formed refs only (malformed refs are the format
+    check's job)."""
+    spans = batch["spans"].combine_chunks() if isinstance(batch["spans"], pa.ChunkedArray) else batch["spans"]
+    doc_id = batch["doc_id"].to_pandas().to_numpy()
+    pid = (
+        pc.cast(batch["partition_id"], pa.int32()).to_numpy(zero_copy_only=False)
+        if "partition_id" in batch.column_names
+        else np.zeros(len(batch), dtype=np.int32)
+    )
+    off = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = spans.values
+    lo, hi = off[0], off[-1]
+    n_spans = np.diff(off)
+    doc_idx = np.repeat(np.arange(len(batch)), n_spans)
+    span_pos = (np.arange(hi - lo) - np.repeat(off[:-1] - lo, n_spans)).astype(np.int32)
+
+    kind = pc.struct_field(flat, "kind").slice(lo, hi - lo)
+    ref = pc.struct_field(flat, "media_ref").slice(lo, hi - lo)
+    is_media = pc.is_in(kind, value_set=pa.array(MEDIA_KINDS)).fill_null(False).to_numpy(zero_copy_only=False)
+    well_formed = pc.match_substring_regex(ref, MEDIA_REF_RE).fill_null(False).to_numpy(zero_copy_only=False)
+    keep = is_media & well_formed
+    idx = np.where(keep)[0]
+    refs = ref.take(pa.array(idx)).to_pandas()
+    bucket = (pd.util.hash_pandas_object(refs, index=False).to_numpy() % n_buckets).astype(np.int32)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id[doc_idx[idx]]),
+            "partition_id": pa.array(pid[doc_idx[idx]], type=pa.int32()),
+            "span_index": pa.array(span_pos[idx], type=pa.int32()),
+            "media_ref": pa.array(refs.to_numpy(), type=pa.string()),
+            "bucket": pa.array(bucket),
+        }
+    )
+
+
+def hash_referential_dangling(
+    docs_ds, catalog_path: str, n_buckets: int = 64
+) -> pa.Table:
+    """Hash-partitioned anti-join → dangling span rows
+    (doc_id, partition_id, span_index, media_ref)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    cat = pq.read_table(catalog_path, columns=["media_ref"])
+    cat_refs = cat["media_ref"].to_pandas()
+    cat_bucket = (pd.util.hash_pandas_object(cat_refs, index=False).to_numpy() % n_buckets).astype(np.int32)
+    cat_tbl = pa.table(
+        {
+            "doc_id": pa.array([None] * len(cat), type=pa.string()),
+            "partition_id": pa.array(np.full(len(cat), -1, dtype=np.int32)),
+            "span_index": pa.array(np.full(len(cat), -1, dtype=np.int32)),
+            "media_ref": cat["media_ref"],
+            "bucket": pa.array(cat_bucket),
+            "side": pa.array(["R"] * len(cat)),
+        }
+    )
+
+    def left_fn(b: pa.Table) -> pa.Table:
+        t = _span_refs(b, n_buckets)
+        return t.append_column("side", pa.array(["L"] * len(t)))
+
+    left = docs_ds.map_batches(left_fn, batch_format="pyarrow")
+    both = left.union(rd.from_arrow(cat_tbl))
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = set(g.loc[g["side"] == "R", "media_ref"])
+        l = g[g["side"] == "L"]
+        bad = l[~l["media_ref"].isin(have)]
+        return bad[["doc_id", "partition_id", "span_index", "media_ref"]]
+
+    out = both.groupby("bucket").map_groups(anti, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.string()),
+                "partition_id": pa.array([], type=pa.int32()),
+                "span_index": pa.array([], type=pa.int32()),
+                "media_ref": pa.array([], type=pa.string()),
+            }
+        )
+    out["partition_id"] = out["partition_id"].astype(np.int32)
+    out["span_index"] = out["span_index"].astype(np.int32)
+    return pa.Table.from_pandas(out, preserve_index=False)

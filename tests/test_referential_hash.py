@@ -1,0 +1,41 @@
+"""Hash-partitioned referential semi-join (large-catalog mode,
+FIXTURES.md §2): must produce EXACTLY the same violations and verdicts
+as the broadcast path."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pytest
+
+from json_schema_ray.sources.interleaved import generate, write_dataset
+
+
+def _viol_frame(report):
+    t = pads.dataset(report.violations_path, partitioning="hive").to_table().to_pandas()
+    return t.sort_values(["partition_id", "doc_id", "span_index", "constraint_id"]).reset_index(drop=True)
+
+
+def test_hash_matches_broadcast(ray_session, tmp_path):
+    from json_schema_ray.pipelines.validation import run_validation
+
+    data = generate(n_docs=500, seed=13, n_parts=4)
+    paths = write_dataset(str(tmp_path / "data"), data)
+
+    r_b = run_validation(paths["documents"], catalog_path=paths["catalog"],
+                         out_dir=str(tmp_path / "out_b"), concurrency=2,
+                         referential_strategy="broadcast")
+    r_h = run_validation(paths["documents"], catalog_path=paths["catalog"],
+                         out_dir=str(tmp_path / "out_h"), concurrency=2,
+                         referential_strategy="hash")
+
+    vb, vh = _viol_frame(r_b), _viol_frame(r_h)
+    pd.testing.assert_frame_equal(vb, vh[vb.columns])
+
+    db = r_b.verdicts.to_pandas().sort_values("partition_id").reset_index(drop=True)
+    dh = r_h.verdicts.to_pandas().sort_values("partition_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(db, dh[db.columns])
+
+    # the expected dangling docs are found by the hash path
+    got = sorted(set(vh[vh["constraint_id"] == "spans[].media_ref/referential"]["doc_id"]))
+    assert got == data.expected["dangling_media_ref"]
