@@ -388,8 +388,14 @@ def q_asof_prior_click(sf_dir: str) -> pa.Table:
         .sort_values("event_id")
         .reset_index(drop=True)
     )
-    out["prior_click_id"] = out["prior_click_id"].astype("Int64")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    # build prior_click_id as Arrow int64 with REAL nulls (not pandas Int64 /
+    # pd.NA, whose null encoding hash-mismatches the oracle's NULL)
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "prior_click_id": pa.Array.from_pandas(out["prior_click_id"], type=pa.int64()),
+        }
+    )
 
 
 def q_session_windows(sf_dir: str) -> pa.Table:

@@ -102,6 +102,19 @@ def _segment_sum(child_vals: Mask, offsets: np.ndarray) -> np.ndarray:
     return out
 
 
+def _strip_absent(v):
+    """Normalize a ``to_pylist`` value to the module's presence convention
+    (property present iff struct field non-null): drop None-valued dict
+    entries recursively.  List elements keep None (a null array element is
+    a genuine JSON null; structs have a fixed field set, so a null field
+    can only mean "absent")."""
+    if isinstance(v, dict):
+        return {k: _strip_absent(x) for k, x in v.items() if x is not None}
+    if isinstance(v, list):
+        return [_strip_absent(x) for x in v]
+    return v
+
+
 def _arrow_json_type(dtype: pa.DataType) -> str:
     if pa.types.is_boolean(dtype):
         return "boolean"
@@ -180,7 +193,7 @@ def compile_vector(schema: Any, dtype: pa.DataType, formats_assert: bool = True)
 
                 a = _combine(arr)
                 return np.fromiter(
-                    ((_null_ok if v is None else ck(v) in _keys) for v in a.to_pylist()),
+                    ((_null_ok if v is None else ck(_strip_absent(v)) in _keys) for v in a.to_pylist()),
                     dtype=bool, count=len(a),
                 )
 
@@ -215,7 +228,7 @@ def compile_vector(schema: Any, dtype: pa.DataType, formats_assert: bool = True)
 
                 a = _combine(arr)
                 return np.fromiter(
-                    (v is not None and ck(v) == _k for v in a.to_pylist()),
+                    (v is not None and ck(_strip_absent(v)) == _k for v in a.to_pylist()),
                     dtype=bool, count=len(a),
                 )
 
@@ -351,21 +364,34 @@ def compile_vector(schema: Any, dtype: pa.DataType, formats_assert: bool = True)
                 n = len(off) - 1
                 if len(vals) == 0:
                     return np.ones(n, dtype=bool)
+                # element identity = (h, isnull): exact int64 bits for integer
+                # children (a float64 cast would collapse distinct int64 above
+                # 2^53 — one Arrow child type means no 1.0-vs-1 cross-repr
+                # concern), float64 value (+0.0 normalizes -0.0) for floats,
+                # canonical-key hash for nested, pandas hash otherwise
+                isnull = ~pc.is_valid(vals).to_numpy(zero_copy_only=False)
                 if _nested:
                     from ..spec.equality import canonical_key as ck
 
-                    h = pd.Series([hash(ck(v)) for v in vals.to_pylist()], dtype=np.int64)
-                elif pa.types.is_floating(dtype.value_type) or pa.types.is_integer(dtype.value_type):
-                    # numeric-insensitive (1.0 == 1): hash the float64 value
-                    h = pd.Series(vals.cast(pa.float64()).to_numpy(zero_copy_only=False))
+                    hv = np.fromiter(
+                        (hash(ck(_strip_absent(v))) for v in vals.to_pylist()),
+                        dtype=np.int64, count=len(vals),
+                    )
+                elif pa.types.is_integer(dtype.value_type):
+                    hv = _combine(vals.fill_null(0)).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+                elif pa.types.is_floating(dtype.value_type):
+                    hv = vals.to_numpy(zero_copy_only=False).astype(np.float64) + 0.0
                 else:
-                    h = pd.util.hash_pandas_object(vals.to_pandas(), index=False)
-                hv = h.to_numpy()[off[0] : off[-1]]
+                    hv = pd.util.hash_pandas_object(vals.to_pandas(), index=False).to_numpy()
+                hv = hv[off[0] : off[-1]]
+                isnull = isnull[off[0] : off[-1]]
                 parent = np.repeat(np.arange(n), np.diff(off))
-                df = pd.DataFrame({"p": parent, "h": hv})
-                grp = df.groupby("p")["h"].agg(["size", "nunique"])
+                df = pd.DataFrame({"p": parent, "h": hv, "z": isnull})
+                sizes = np.bincount(parent, minlength=n)
+                distinct = df.drop_duplicates().groupby("p").size()
                 ok = np.ones(n, dtype=bool)
-                ok[grp.index.to_numpy()] = (grp["size"] == grp["nunique"]).to_numpy()
+                idx = distinct.index.to_numpy()
+                ok[idx] = distinct.to_numpy() == sizes[idx]
                 return ok | ~_valid_mask(a)
 
             parts.append(k_unique)

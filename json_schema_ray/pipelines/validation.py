@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..stages.drift import drift_table, merge_sketch_rows, merge_sketches_distributed
@@ -139,7 +140,11 @@ def run_validation(
             shutil.rmtree(os.path.join(viol_root, f"partition_id={pid}"), ignore_errors=True)
 
     if not todo:
-        verdicts = _load_verdicts_from_manifest(manifest)
+        # no-op resume: reload verdicts WITH the persisted dataset-level
+        # duplicate count — a run that failed on duplicate doc_ids must not
+        # flip to all_pass just because nothing was re-scanned
+        dup_prev = int(manifest.dataset_metrics().get("n_dup_doc_ids", 0)) if manifest else 0
+        verdicts = _load_verdicts_from_manifest(manifest, dup_prev)
         return ValidationReport(verdicts, viol_root, 0, skipped_partitions=skipped, timings=timings)
 
     all_files = [f for files in todo.values() for f in files]
@@ -172,14 +177,18 @@ def run_validation(
     # read, column-pruned to doc_id): the streaming executor interleaves
     # both dataset executions, so the shuffle's latency hides behind the
     # read-bound scan instead of serializing after it.
+    # It scans ALL partitions' files (not just the pending ones): uniqueness
+    # is a cross-partition dataset property, and a resume that read only the
+    # pending files would miss duplicates spanning completed partitions.
     uniq_future = None
     if check_unique:
         from concurrent.futures import ThreadPoolExecutor
 
         _uniq_pool = ThreadPoolExecutor(max_workers=1)
+        uniq_files = [f for files in parts.values() for f in files]
 
         def _run_uniqueness():
-            key_ds = rd.read_parquet(all_files, columns=["doc_id"])
+            key_ds = rd.read_parquet(uniq_files, columns=["doc_id"])
             return find_duplicate_keys(key_ds, "doc_id", n_salts=n_salts)
 
         uniq_start = time.time()
@@ -204,54 +213,120 @@ def run_validation(
             batch_format="pyarrow",
             batch_size=batch_size,
         )
-    # results ∝ violations + per-batch partials: small by design — pull it
-    # to the driver ONCE and split locally (three Ray passes over a tiny
-    # dataset would cost 3× stage-launch latency)
-    res_df = results_ds.to_pandas()
+    # results stream = violations + per-batch partials + sketch partials.
+    # Materialize ONCE in the object store (small relative to the input,
+    # spillable), then split with per-record-type filters: partials +
+    # sketches (a few rows per batch) come to the driver; VIOLATIONS stay a
+    # distributed Dataset end-to-end — written by Ray workers, never
+    # collected, so driver memory is independent of the violation count.
+    res = results_ds.materialize()
     timings["scan_validate"] = time.time() - t
 
-    partials = res_df[res_df["record_type"] == "partial"]
-    viol_df = res_df[res_df["record_type"] == "violation"]
+    def _kind(ds_, k):
+        return ds_.map_batches(
+            lambda b, _k=k: b.filter(pc.equal(b["record_type"], _k)),
+            batch_format="pyarrow",
+        )
+
+    partials = _kind(res, "partial").select_columns(
+        ["partition_id", "constraint_id", "n_docs", "n_bad"]
+    ).to_pandas()
+    sk_df = _kind(res, "sketch").select_columns(
+        ["feature", "sketch_kind", "blob"]
+    ).to_pandas()
+    viol_ds = _kind(res, "violation")
 
     # -------- hash-partitioned referential semi-join (large catalogs) ----
     if catalog_path and referential_strategy == "hash":
         from ..stages.referential import hash_referential_dangling
+        from ..stages.validate import CONSTRAINT_META
 
-        dangling = hash_referential_dangling(ds, catalog_path).to_pandas()
-        if len(dangling):
-            add = dangling.assign(
-                record_type="violation",
-                constraint_id="spans[].media_ref/referential",
-                error_type="REFERENTIAL",
-                actual=dangling["media_ref"],
-                n_docs=0, n_bad=0, feature=None, sketch_kind=None, blob=None,
-            ).drop(columns=["media_ref"])
-            viol_df = pd.concat([viol_df, add[viol_df.columns]], ignore_index=True)
-            # partial adjustments: per-constraint counts + __all__ union
-            # (docs not already flagged by another constraint)
-            already_bad = set(
-                zip(res_df.loc[res_df["record_type"] == "violation", "partition_id"],
-                    res_df.loc[res_df["record_type"] == "violation", "doc_id"])
+        REF_CID = "spans[].media_ref/referential"
+        meta = CONSTRAINT_META[REF_CID]
+        dangling_ds = hash_referential_dangling(ds, catalog_path, collect=False)
+
+        def to_viol(b: pa.Table) -> pa.Table:
+            k = len(b)
+            msg = pc.binary_join_element_wise(
+                pa.array([meta[2]] * k),
+                b["media_ref"].fill_null("null"),
+                pa.array([meta[3]] * k),
+                "",
             )
-            extra_rows = []
-            per_part = dangling.groupby("partition_id")
-            for p, g in per_part:
-                docs = set(g["doc_id"])
-                newly_bad = {d for d in docs if (p, d) not in already_bad}
+            return pa.table(
+                {
+                    "record_type": pa.array(["violation"] * k),
+                    "partition_id": pc.cast(b["partition_id"], pa.int32()),
+                    "doc_id": b["doc_id"],
+                    "span_index": pc.cast(b["span_index"], pa.int32()),
+                    "constraint_id": pa.array([REF_CID] * k),
+                    "error_type": pa.array([meta[0]] * k),
+                    "expected": pa.array([meta[1]] * k),
+                    "actual": pc.cast(b["media_ref"], pa.string()),
+                    "message": msg,
+                    "n_docs": pa.array(np.zeros(k, dtype=np.int64)),
+                    "n_bad": pa.array(np.zeros(k, dtype=np.int64)),
+                    "feature": pa.array([None] * k, type=pa.string()),
+                    "sketch_kind": pa.array([None] * k, type=pa.string()),
+                    "blob": pa.array([None] * k, type=pa.binary()),
+                }
+            )
+
+        viol_ds = viol_ds.union(dangling_ds.map_batches(to_viol, batch_format="pyarrow"))
+
+        # partial adjustments, computed DISTRIBUTED (the dangling/bad doc
+        # sets can be huge): union the narrow (partition, doc, src) keys,
+        # per-doc groupby decides "newly bad", per-partition Sum reduces to
+        # one tiny row per partition for the driver.  (Scan-side doc set is
+        # derived from the cap-bounded violation rows — same approximation
+        # the driver-side version had.)
+        def _keys(ds_, src):
+            return ds_.map_batches(
+                lambda b, _s=src: pa.table(
+                    {
+                        "partition_id": pc.cast(b["partition_id"], pa.int32()),
+                        "doc_id": b["doc_id"],
+                        "src": pa.array([_s] * len(b)),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+
+        def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+            has_ref = bool((g["src"] == "ref").any())
+            has_scan = bool((g["src"] == "scan").any())
+            return pd.DataFrame(
+                {
+                    "partition_id": [g["partition_id"].iloc[0]],
+                    "ref": [np.int64(has_ref)],
+                    "new_bad": [np.int64(has_ref and not has_scan)],
+                }
+            )
+
+        per_part = (
+            _keys(_kind(res, "violation"), "scan")
+            .union(_keys(dangling_ds, "ref"))
+            .groupby(["partition_id", "doc_id"])
+            .map_groups(per_doc, batch_format="pandas")
+            .groupby("partition_id")
+            .aggregate(Sum("ref", alias_name="n_ref"), Sum("new_bad", alias_name="n_new"))
+            .to_pandas()
+        )
+        extra_rows = []
+        for _, r in per_part.iterrows():
+            if r["n_ref"]:
                 extra_rows.append(
-                    {"record_type": "partial", "partition_id": p,
-                     "constraint_id": "spans[].media_ref/referential",
-                     "n_docs": 0, "n_bad": len(docs)}
+                    {"partition_id": int(r["partition_id"]), "constraint_id": REF_CID,
+                     "n_docs": 0, "n_bad": int(r["n_ref"])}
                 )
-                if newly_bad:
-                    extra_rows.append(
-                        {"record_type": "partial", "partition_id": p,
-                         "constraint_id": "__all__", "n_docs": 0, "n_bad": len(newly_bad)}
-                    )
-            partials = pd.concat(
-                [partials, pd.DataFrame(extra_rows)], ignore_index=True
-            )
-    n_viol = len(viol_df)
+            if r["n_new"]:
+                extra_rows.append(
+                    {"partition_id": int(r["partition_id"]), "constraint_id": "__all__",
+                     "n_docs": 0, "n_bad": int(r["n_new"])}
+                )
+        if extra_rows:
+            partials = pd.concat([partials, pd.DataFrame(extra_rows)], ignore_index=True)
+    n_viol = viol_ds.count()
 
     # ---------------- stage 2: uniqueness shuffle (join) ----------------
     dup_tbl = None
@@ -264,7 +339,6 @@ def run_validation(
 
     # ---------------- stage 3: sketch merge ----------------------------
     t = time.time()
-    sk_df = res_df[res_df["record_type"] == "sketch"][["feature", "sketch_kind", "blob"]]
     if distributed_sketch_merge and len(sk_df):
         profile = merge_sketches_distributed(rd.from_pandas(sk_df.reset_index(drop=True)))
     else:
@@ -279,21 +353,30 @@ def run_validation(
     # ---------------- stage 5: write + verdicts + manifest --------------
     t = time.time()
     if viol_root and n_viol:
-        import pyarrow.dataset as pads
+        # distributed partitioned write: Ray workers write hive-layout
+        # parquet per partition_id — the driver never holds violation rows
+        viol_cols = [
+            "partition_id", "doc_id", "span_index", "constraint_id",
+            "error_type", "expected", "actual", "message",
+        ]
+        viol_ds.map_batches(
+            lambda b: b.select(viol_cols), batch_format="pyarrow"
+        ).write_parquet(viol_root, partition_cols=["partition_id"])
 
-        viol_cols = ["partition_id", "doc_id", "span_index", "constraint_id", "error_type", "actual"]
-        viol_tbl = pa.Table.from_pandas(viol_df[viol_cols].reset_index(drop=True), preserve_index=False)
-        # violation volume is capped per (constraint × batch) → driver-side
-        # partitioned write; layout identical to a distributed writer's
-        pads.write_dataset(
-            viol_tbl,
-            viol_root,
-            format="parquet",
-            partitioning=pads.partitioning(pa.schema([("partition_id", pa.int32())]), flavor="hive"),
-            existing_data_behavior="overwrite_or_ignore",
-        )
+    dup_docs_total = 0
+    if dup_tbl is not None and len(dup_tbl):
+        dup_docs_total = len(set(dup_tbl["doc_id"].to_pylist()))
+    elif not check_unique and manifest is not None:
+        dup_docs_total = int(manifest.dataset_metrics().get("n_dup_doc_ids", 0))
 
-    verdicts, per_part_metrics = _build_verdicts(partials, dup_tbl, todo.keys())
+    verdicts, per_part_metrics = _build_verdicts(partials, dup_docs_total, todo.keys())
+    # merge with the completed partitions' manifest rows (with the FRESH
+    # dup count — the uniqueness scan covered all files) so a resumed run's
+    # verdicts.parquet keeps every partition instead of dropping finished ones
+    if manifest is not None and skipped:
+        prev = _load_verdicts_from_manifest(manifest, dup_docs_total, exclude=set(todo))
+        if len(prev):
+            verdicts = pa.concat_tables([verdicts, prev]).sort_by("partition_id")
 
     if out_dir:
         pq.write_table(verdicts, os.path.join(out_dir, "verdicts.parquet"))
@@ -303,6 +386,8 @@ def run_validation(
     if manifest is not None:
         for pid, files in todo.items():
             manifest.complete(pid, files, per_part_metrics.get(pid, {}))
+        if check_unique:
+            manifest.set_dataset_metrics({"n_dup_doc_ids": dup_docs_total})
     timings["write"] = time.time() - t
     timings["total"] = time.time() - t0
 
@@ -316,12 +401,9 @@ def _pid_from_path(p: str) -> int:
     return int(m.group(1)) if m else 0
 
 
-def _build_verdicts(partials: pd.DataFrame, dup_tbl: pa.Table | None, pids) -> tuple[pa.Table, dict]:
+def _build_verdicts(partials: pd.DataFrame, dup_docs_total: int, pids) -> tuple[pa.Table, dict]:
     rows = []
     metrics: dict[int, dict] = {}
-    dup_docs_total = 0
-    if dup_tbl is not None and len(dup_tbl):
-        dup_docs_total = len(set(dup_tbl["doc_id"].to_pylist()))
     agg = (
         partials[partials["constraint_id"] == "__all__"]
         .groupby("partition_id")[["n_docs", "n_bad"]]
@@ -368,18 +450,26 @@ def _build_verdicts(partials: pd.DataFrame, dup_tbl: pa.Table | None, pids) -> t
     return t, metrics
 
 
-def _load_verdicts_from_manifest(manifest: Manifest | None) -> pa.Table:
+def _load_verdicts_from_manifest(
+    manifest: Manifest | None, dup_docs_total: int = 0, exclude: set | None = None
+) -> pa.Table:
+    """Verdict rows for manifest-completed partitions.  ``dup_docs_total``
+    is the (dataset-level) duplicate-doc_id count — persisted across runs
+    in the manifest's dataset metrics, so a no-op resume of a run that
+    failed on duplicates still reports ``pass=False``."""
     rows = []
     if manifest is not None:
         for pid, e in sorted(manifest.completed().items()):
+            if exclude and pid in exclude:
+                continue
             m = e.get("metrics", {})
             rows.append(
                 {
-                    "partition_id": pid,
-                    "n_docs": m.get("n_docs", 0),
-                    "n_bad_docs": m.get("n_bad_docs", 0),
-                    "n_dup_doc_ids": 0,
-                    "pass": m.get("n_bad_docs", 0) == 0,
+                    "partition_id": int(pid),
+                    "n_docs": int(m.get("n_docs", 0)),
+                    "n_bad_docs": int(m.get("n_bad_docs", 0)),
+                    "n_dup_doc_ids": int(dup_docs_total),
+                    "pass": bool(m.get("n_bad_docs", 0) == 0 and dup_docs_total == 0),
                     "constraints": json.dumps(m.get("constraints", {}), sort_keys=True),
                 }
             )

@@ -9,8 +9,13 @@ representation-insensitive (``1.0 == 1``) via BigDecimal.
 Python port notes:
 - ``bool`` is a subclass of ``int``; JSON ``true`` must NOT equal ``1``,
   so booleans are ordered/keyed as their own type before numerics.
-- Numeric exactness uses ``fractions.Fraction`` (exact binary value of
-  floats), so ``1.0 == 1`` and ``1e2 == 100`` hold while ``1.1 != 1``.
+- Numeric exactness uses ``fractions.Fraction`` with **decimal** semantics
+  for floats (``Fraction(str(v))`` — the shortest-repr decimal the float
+  prints as), matching ``kernels/dynamic._frac`` /
+  ``CompiledSchema.apply(parse_float=Fraction)``: the literal ``1.1``
+  parsed exactly (11/10) and the float ``1.1`` yield the SAME key, so
+  ``const``/``enum``/``uniqueItems`` treat both representations of one
+  JSON literal as equal.  ``1.0 == 1`` and ``1e2 == 100`` still hold.
 """
 
 from __future__ import annotations
@@ -19,6 +24,14 @@ from fractions import Fraction
 from typing import Any
 
 _TYPE_ORDER = {"null": 0, "bool": 1, "num": 2, "str": 3, "arr": 4, "obj": 5}
+
+
+def _frac(v) -> Fraction:
+    """Numeric → Fraction under decimal semantics for floats (see module
+    docstring); ints / Fractions pass through exactly."""
+    if isinstance(v, float):
+        return Fraction(str(v))  # raises on inf/nan, which are not JSON
+    return Fraction(v)
 
 
 def json_type_tag(v: Any) -> str:
@@ -46,7 +59,7 @@ def canonical_key(v: Any):
     if t == "bool":
         return ("bool", v)
     if t == "num":
-        return ("num", Fraction(v))
+        return ("num", _frac(v))
     if t == "str":
         return ("str", v)
     if t == "arr":
@@ -59,7 +72,7 @@ def deep_equal(a: Any, b: Any) -> bool:
     if ta != tb:
         return False
     if ta == "num":
-        return Fraction(a) == Fraction(b)
+        return _frac(a) == _frac(b)
     if ta == "arr":
         return len(a) == len(b) and all(deep_equal(x, y) for x, y in zip(a, b))
     if ta == "obj":
@@ -78,7 +91,7 @@ def compare(a: Any, b: Any) -> int:
     if ta == "bool":
         return int(a) - int(b)
     if ta == "num":
-        fa, fb = Fraction(a), Fraction(b)
+        fa, fb = _frac(a), _frac(b)
         return -1 if fa < fb else (1 if fa > fb else 0)
     if ta == "str":
         return -1 if a < b else (1 if a > b else 0)

@@ -49,7 +49,7 @@ ERROR_MESSAGES: dict[str, str] = {
     "UNIQUE_KEY": "Key {0} appears {1} times; must be unique",
     "REFERENTIAL": "Value {0} has no match in catalog {1}",
     "DRIFT": "Feature {0} drifted vs baseline: {1}={2} exceeds {3}",
-    "ORDER": "Value {0} at position {1} breaks required ordering",
+    "ORDER": "Value {0} breaks required ordering ({1})",
 }
 
 

@@ -55,8 +55,10 @@ def _join(base: str, ref: str) -> str:
 def pointer_get(doc: Any, pointer: str) -> Any:
     """RFC 6901 descent; raises KeyError on a missing path."""
     node = doc
-    if pointer in ("", "/"):
-        return node if pointer == "" else pointer_get(doc, "/" + "")
+    if pointer == "":
+        return node
+    # NOTE: "/" is NOT the root — it points at the member with key ""
+    # (RFC 6901 §5); the normal token loop below handles it.
     for raw in pointer.split("/")[1:]:
         tok = unquote(raw).replace("~1", "/").replace("~0", "~")
         if isinstance(node, list):

@@ -70,10 +70,14 @@ def _span_refs(batch: pa.Table, n_buckets: int) -> pa.Table:
 
 
 def hash_referential_dangling(
-    docs_ds, catalog_path: str, n_buckets: int = 64
-) -> pa.Table:
+    docs_ds, catalog_path: str, n_buckets: int = 64, collect: bool = True
+):
     """Hash-partitioned anti-join → dangling span rows
-    (doc_id, partition_id, span_index, media_ref)."""
+    (doc_id, partition_id, span_index, media_ref).
+
+    ``collect=False`` returns the dangling rows as a (still distributed)
+    Dataset — the 100-TB path, where dangling rows can be too many for
+    the driver; the flagship pipeline consumes it that way."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
@@ -104,7 +108,10 @@ def hash_referential_dangling(
         bad = l[~l["media_ref"].isin(have)]
         return bad[["doc_id", "partition_id", "span_index", "media_ref"]]
 
-    out = both.groupby("bucket").map_groups(anti, batch_format="pandas").to_pandas()
+    dangling_ds = both.groupby("bucket").map_groups(anti, batch_format="pandas")
+    if not collect:
+        return dangling_ds
+    out = dangling_ds.to_pandas()
     if len(out) == 0:
         return pa.table(
             {

@@ -48,7 +48,9 @@ RESULT_SCHEMA = pa.schema(
         ("span_index", pa.int32()),
         ("constraint_id", pa.string()),
         ("error_type", pa.string()),
+        ("expected", pa.string()),
         ("actual", pa.string()),
+        ("message", pa.string()),
         ("n_docs", pa.int64()),
         ("n_bad", pa.int64()),
         ("feature", pa.string()),
@@ -56,6 +58,37 @@ RESULT_SCHEMA = pa.schema(
         ("blob", pa.binary()),
     ]
 )
+
+# per-constraint violation metadata: error_type, expected (SURVEY §1.2's
+# (…, expected, actual) contract), and the rendered-message pieces from
+# spec/errors.ERROR_MESSAGES templates ({0}=actual pre-split so rendering
+# is one vectorized binary_join per chunk, never per-row Python):
+# (error_type, expected, msg_prefix, msg_suffix, insert_actual)
+CONSTRAINT_META: dict[str, tuple[str, str, str, str, bool]] = {
+    "spans[].kind/enum": (
+        "ENUM", "['text', 'image', 'audio', 'video']",
+        "The value ", " not declared in enum ['text', 'image', 'audio', 'video']", True,
+    ),
+    "spans[].text/required": (
+        "REQUIRED", "[text]", "Some required properties [text] are missing", "", False,
+    ),
+    "spans[].media_ref/format": (
+        "FORMAT", "media-ref", "Value ", " not conform to format media-ref", True,
+    ),
+    "spans[].offset/order": (
+        "ORDER", "strictly increasing offset",
+        "Value ", " breaks required ordering (strictly increasing offset)", True,
+    ),
+    "spans[].media_ref/referential": (
+        "REFERENTIAL", "in media catalog", "Value ", " has no match in catalog media", True,
+    ),
+    "doc_id/required": (
+        "REQUIRED", "[doc_id]", "Some required properties [doc_id] are missing", "", False,
+    ),
+    "spans/minItems": (
+        "MIN_ITEMS", "minItems=1", "Required minimum items amount is 1, Actual size: 0", "", False,
+    ),
+}
 
 
 def _empty_columns(n: int) -> dict:
@@ -66,7 +99,9 @@ def _empty_columns(n: int) -> dict:
         "span_index": np.full(n, -1, dtype=np.int32),
         "constraint_id": [None] * n,
         "error_type": [None] * n,
+        "expected": [None] * n,
         "actual": [None] * n,
+        "message": [None] * n,
         "n_docs": np.zeros(n, dtype=np.int64),
         "n_bad": np.zeros(n, dtype=np.int64),
         "feature": [None] * n,
@@ -189,6 +224,23 @@ class SpanValidator:
 
         def emit_violations(cid, etype, bad_doc_idx, span_index, actual_strs):
             k = len(bad_doc_idx)
+            meta = CONSTRAINT_META.get(cid)
+            expected = meta[1] if meta else None
+            if actual_strs is None:
+                actual_col = pa.array([None] * k, type=pa.string())
+            else:
+                actual_col = actual_strs
+            # rendered message: one vectorized join (template pre/post around
+            # the actual value), constant string for actual-less constraints
+            if meta is None:
+                message = pa.array([None] * k, type=pa.string())
+            elif meta[4] and actual_strs is not None:
+                message = pc.binary_join_element_wise(
+                    pa.array([meta[2]] * k), actual_col.fill_null("null"),
+                    pa.array([meta[3]] * k), "",
+                )
+            else:
+                message = pa.array([meta[2]] * k, type=pa.string())
             viol_chunks.append(
                 pa.table(
                     {
@@ -198,9 +250,9 @@ class SpanValidator:
                         "span_index": pa.array(span_index, type=pa.int32()),
                         "constraint_id": pa.array([cid] * k),
                         "error_type": pa.array([etype] * k),
-                        "actual": actual_strs
-                        if actual_strs is not None
-                        else pa.array([None] * k, type=pa.string()),
+                        "expected": pa.array([expected] * k, type=pa.string()),
+                        "actual": actual_col,
+                        "message": message,
                         "n_docs": pa.array(np.zeros(k, dtype=np.int64)),
                         "n_bad": pa.array(np.zeros(k, dtype=np.int64)),
                         "feature": pa.array([None] * k, type=pa.string()),

@@ -52,6 +52,22 @@ class Manifest:
             json.dump(entry, f)
         os.replace(tmp, self._path(partition_id))  # atomic
 
+    # dataset-LEVEL metrics (e.g. the cross-partition duplicate-doc_id count
+    # — not attributable to one partition): single atomic JSON, overwritten
+    # on every completed run so a no-op resume can reload them
+    def set_dataset_metrics(self, metrics: dict[str, Any]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(metrics, f)
+        os.replace(tmp, os.path.join(self.dir, "dataset.meta"))
+
+    def dataset_metrics(self) -> dict[str, Any]:
+        p = os.path.join(self.dir, "dataset.meta")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
     def completed(self) -> dict[int, dict]:
         out = {}
         for name in os.listdir(self.dir):

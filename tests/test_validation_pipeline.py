@@ -167,3 +167,61 @@ def test_drift_detection(ray_session, tmp_path):
                              baseline_profile=baseline, concurrency=2)
     ds_ = r_shift.drift.to_pandas().set_index("feature")
     assert ds_.loc["text_len", "drifted"]
+
+
+def test_resume_verdicts_keep_completed_partitions_and_dup_fail(ray_session, gen_dir, tmp_path):
+    """ADVICE r1: a resumed run must (a) keep completed partitions' verdict
+    rows in verdicts.parquet, (b) not flip a duplicate-doc_id failure to
+    all_pass on a no-op resume (dataset-level dup count is persisted)."""
+    from json_schema_ray.pipelines.validation import run_validation
+
+    data, paths, out = gen_dir
+    assert len(data.expected["dup_doc_id"]) > 0  # seeded duplicates
+    d = str(tmp_path / "resume_verdicts")
+    r1 = run_validation(paths["documents"], catalog_path=paths["catalog"],
+                        out_dir=d, max_partitions=2, concurrency=2)
+    r2 = run_validation(paths["documents"], catalog_path=paths["catalog"],
+                        out_dir=d, concurrency=2)
+    # all 4 partitions present after resume (not just the pending 2)
+    assert sorted(r2.verdicts["partition_id"].to_pylist()) == [0, 1, 2, 3]
+    vd = pq.read_table(os.path.join(d, "verdicts.parquet")).to_pandas()
+    assert sorted(vd["partition_id"]) == [0, 1, 2, 3]
+    assert (vd["n_dup_doc_ids"] == len(data.expected["dup_doc_id"])).all()
+    assert not vd["pass"].any()  # duplicates fail every partition verdict
+
+    # no-op resume: everything completed; dup verdict must survive
+    r3 = run_validation(paths["documents"], catalog_path=paths["catalog"],
+                        out_dir=d, concurrency=2)
+    assert sorted(r3.skipped_partitions) == [0, 1, 2, 3]
+    assert not r3.all_pass
+    assert (r3.verdicts.to_pandas()["n_dup_doc_ids"] > 0).all()
+
+
+def test_violation_expected_actual_message_golden(ray_session, gen_dir, tmp_path):
+    """Golden expected/actual/message per violation class (SURVEY §1.2's
+    (…, expected, actual) contract + rendered spec/errors templates)."""
+    import pyarrow.dataset as pads
+
+    from json_schema_ray.pipelines.validation import run_validation
+
+    data, paths, out = gen_dir
+    report = run_validation(paths["documents"], catalog_path=paths["catalog"],
+                            out_dir=str(tmp_path / "msg"), concurrency=2)
+    df = pads.dataset(report.violations_path, partitioning="hive").to_table().to_pandas()
+    by_cid = {cid: g.iloc[0] for cid, g in df.groupby("constraint_id")}
+
+    r = by_cid["spans[].kind/enum"]
+    assert r["expected"] == "['text', 'image', 'audio', 'video']"
+    assert r["message"] == f"The value {r['actual']} not declared in enum ['text', 'image', 'audio', 'video']"
+    r = by_cid["spans[].media_ref/format"]
+    assert r["expected"] == "media-ref"
+    assert r["message"].startswith("Value ") and r["message"].endswith(" not conform to format media-ref")
+    r = by_cid["spans[].media_ref/referential"]
+    assert r["message"] == f"Value {r['actual']} has no match in catalog media"
+    r = by_cid["spans[].text/required"]
+    assert r["message"] == "Some required properties [text] are missing"
+    r = by_cid["spans[].offset/order"]
+    assert r["message"].endswith("breaks required ordering (strictly increasing offset)")
+    r = by_cid["spans/minItems"]
+    assert r["expected"] == "minItems=1"
+    assert r["message"] == "Required minimum items amount is 1, Actual size: 0"

@@ -167,3 +167,39 @@ def test_vector_parity_with_dynamic(group):
         assert got.tolist() == expect, f"type {t}: vector {got.tolist()} != dynamic {expect} for {vals}"
         checked += 1
     # (groups where nothing fits a typed column are fine — dynamic-only)
+
+
+def test_advice_r1_fixes():
+    """Regression tests for round-1 ADVICE findings."""
+    import pyarrow as pa
+
+    from json_schema_ray.kernels.dynamic import compile_schema
+    from json_schema_ray.kernels.vector import compile_vector
+    from json_schema_ray.spec.equality import canonical_key, deep_equal
+    from json_schema_ray.spec.schema import pointer_get
+
+    # high: decimal-Fraction semantics — parsed-exact 1.1 equals float 1.1
+    assert compile_schema({"const": 1.1}).apply("1.1").ok
+    assert compile_schema({"enum": [1.1, 2.5]}).apply("1.1").ok
+    assert not compile_schema({"const": 1.1}).apply("1").ok
+    assert compile_schema({"const": 1}).apply("1.0").ok
+    assert canonical_key(1.1) == canonical_key(__import__("fractions").Fraction("11/10"))
+    assert deep_equal([1.1], [__import__("fractions").Fraction("11/10")])
+
+    # medium: struct const/enum must strip absent (null) fields
+    dt = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    arr = pa.array([{"a": 1, "b": None}, {"a": 2, "b": "x"}, {"a": 1, "b": "y"}], type=dt)
+    assert list(compile_vector({"const": {"a": 1}}, dt)(arr)) == [True, False, False]
+    assert list(compile_vector({"enum": [{"a": 1}, {"a": 2, "b": "x"}]}, dt)(arr)) == [True, True, False]
+
+    # low: RFC 6901 pointer "/" = member with key ""
+    assert pointer_get({"": 42}, "/") == 42
+    assert pointer_get({"a": {"b": 1}}, "/a/b") == 1
+
+    # low: uniqueItems must not collapse int64 values above 2^53
+    lt = pa.list_(pa.int64())
+    la = pa.array(
+        [[9007199254740992, 9007199254740993], [1, 1], [None, None], [None], [2, 3]],
+        type=lt,
+    )
+    assert list(compile_vector({"uniqueItems": True}, lt)(la)) == [True, False, False, True, True]
