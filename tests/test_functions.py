@@ -175,3 +175,54 @@ def test_media_stub_pipeline(ray_session, tmp_path):
     # strict mode raises the documented NotImplementedError
     with pytest.raises(NotImplementedError):
         ImageDecoder(strict=True)(pa.table({"media_ref": ["x"]}))
+
+
+def test_lsh_skewed_bucket_cap(ray_session):
+    """Adversarial skew: many identical docs melt into ONE LSH bucket;
+    max_bucket_size bounds the quadratic pairing instead of exploding."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_ray.functions.dedup import minhash_lsh_candidates, simhash_candidates
+
+    n = 60
+    tbl = pa.table(
+        {
+            "doc_id": [f"d{i:03d}" for i in range(n)],
+            "text": ["the same boilerplate text repeated everywhere forever"] * n,
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    # cap = 10 → at most C(10,2)=45 pairs per bucket (not C(60,2)=1770)
+    pairs = minhash_lsh_candidates(ds, concurrency=1, max_bucket_size=10)
+    assert 0 < len(pairs) <= 45
+    assert pairs["est_jaccard"].to_pandas().min() == 1.0  # identical docs
+
+    sp = simhash_candidates(ds, concurrency=1, max_bucket_size=10)
+    assert 0 < len(sp) <= 45
+    assert sp["hamming"].to_pandas().max() == 0
+
+
+def test_embedding_near_dup_finds_planted_pair(ray_session):
+    """Distributed hyperplane-LSH path finds a planted near-duplicate
+    vector pair and verifies exact cosine ≥ threshold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_ray.functions.dedup import embedding_near_dup
+
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=(50, 16))
+    base[7] = base[3] + rng.normal(scale=0.01, size=16)  # planted near-dup
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(50), type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(base.reshape(-1), type=pa.float64()), 16
+            ),
+        }
+    )
+    out = embedding_near_dup(rd.from_arrow(tbl), threshold=0.98).to_pandas()
+    assert {(3, 7)} <= set(zip(out["id_a"], out["id_b"]))
+    assert (out["cosine"] >= 0.98).all()
