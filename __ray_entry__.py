@@ -477,12 +477,27 @@ def q_quality(sf_dir: str) -> pa.Table:
 
 
 def q_ivf_ann(sf_dir: str) -> pa.Table:
-    from json_schema_ray.functions.similarity import _normalize, ivf_topk
+    """Assign-once IVF: build the cluster-partitioned index (cached per
+    sf_dir), then a probed search that reads only nprobe/n_clusters of
+    the partitions (pruning at the read)."""
+    import shutil
+
+    from json_schema_ray.functions.similarity import (
+        _normalize,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
 
     emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     sel = emb.filter(pc.less(emb["vec_id"], 2))
     Q = _normalize(np.asarray(sel["embedding"].to_pylist(), dtype=np.float64))
-    return ivf_topk(_read(sf_dir, "embeddings"), Q, sel["vec_id"].to_numpy(), k=10, concurrency=2)
+    index_dir = os.path.join(
+        tempfile.gettempdir(), f"jsr_ivf_{abs(hash(sf_dir)) % 99999}"
+    )
+    if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        build_ivf_index(_read(sf_dir, "embeddings"), index_dir)
+    return ivf_topk_indexed(index_dir, Q, sel["vec_id"].to_numpy(), k=10, concurrency=2)
 
 
 def q_span_validation(sf_dir: str) -> pa.Table:

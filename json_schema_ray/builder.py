@@ -31,7 +31,9 @@ class ConstraintEngineBuilder:
         self._registry = SchemaRegistry()
         self._formats: dict[str, Callable[[str], bool]] = {}
         self._regex_flavor: Callable[[str], Any] | None = None
-        self._dialect = "2020-12"
+        # None → auto-detect from the root "$schema" (2020-12 fallback),
+        # the DialectRegistry analog; dialect() forces one
+        self._dialect: str | None = None
         self._formats_assert = False
         self._content = "default"
         self._treat_object_as_array = False
@@ -39,6 +41,15 @@ class ConstraintEngineBuilder:
     def dialect(self, d: str) -> "ConstraintEngineBuilder":
         assert d in ("2020-12", "2019-09", "draft7")
         self._dialect = d
+        return self
+
+    def register_loader(self, scheme: str, loader: Callable[[str], Any]) -> "ConstraintEngineBuilder":
+        """Per-URI-scheme resource loader for lazy ``$ref`` resolution at
+        COMPILE time on the driver (``SchemaBuilder.registerResourceLoader``,
+        ``js/SchemaBuilder.java:103-133``).  ``file``/``http``/``https``
+        are pre-registered (spec/schema.DEFAULT_LOADERS); compiled plans
+        shipped to workers never perform I/O."""
+        self._registry.loaders[scheme] = loader
         return self
 
     def assert_formats(self, on: bool = True) -> "ConstraintEngineBuilder":

@@ -210,7 +210,7 @@ def minhash_lsh_candidates(
     hasher_kwargs = dict(k=k, shingle_w=3, seed=seed, text_col=text_col, id_col=id_col)
     sigs = ds.map_batches(
         MinHasher, fn_constructor_kwargs=hasher_kwargs,
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=(1, concurrency),
     ).materialize()  # reused twice (banding + verification); sigs are narrow
 
     banded = sigs.map_batches(
@@ -304,7 +304,7 @@ def simhash_candidates(
     """
     sigs = ds.map_batches(
         SimHasher, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow", concurrency=(1, concurrency),
     )
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -139,5 +139,5 @@ def decode_media_spans(docs_ds, batch_size: int = 128, concurrency: int = 2, fea
         fn_constructor_kwargs={"feature_dim": feature_dim},
         batch_format="pyarrow",
         batch_size=batch_size,  # small: payloads are wide
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )

@@ -12,6 +12,11 @@
   exact scoring.  Recall < 1 by design; the partitioning assumption is
   that cluster sizes stay balanced (rebalance by re-training centroids
   on drift).
+- ``build_ivf_index`` + ``ivf_topk(index_dir=...)``: the assign-ONCE
+  variant — cluster ids are computed one time and persisted as parquet
+  partitioned by ``cluster``, so a probed search reads only the
+  ``nprobe``/``n_clusters`` fraction of the data (pruning at the READ,
+  not post-scan) and never re-assigns rows per batch.
 """
 
 from __future__ import annotations
@@ -89,7 +94,7 @@ def brute_force_topk(
             queries_ref=qref, k=k, emb_col=emb_col, id_col=id_col, normalize=True
         ),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -122,6 +127,142 @@ def train_centroids(sample: np.ndarray, n_clusters: int, iters: int = 10, seed: 
     return C
 
 
+def build_ivf_index(
+    ds,
+    index_dir: str,
+    n_clusters: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 2000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Assign-once IVF index: train centroids on a sample, tag every row
+    with its nearest centroid (one distributed pass), write parquet
+    PARTITIONED by ``cluster`` + persist the centroid matrix.  A probed
+    search then reads only its clusters' directories — column/partition
+    pruning at the read, the 100-TB path (no per-batch re-assignment)."""
+    import os
+
+    import ray
+
+    sample = _to_matrix(
+        pa.concat_tables(
+            [pa.table(b) for b in ds.limit(sample_size).iter_batches(batch_format="pyarrow")]
+        )[emb_col]
+    )
+    C = train_centroids(sample, n_clusters, seed=seed)
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self, centroids_ref):
+            self.C = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            E = _normalize(_to_matrix(batch[emb_col]))
+            cl = np.argmax(E @ self.C.T, axis=1).astype(np.int32)
+            return batch.append_column("cluster", pa.array(cl))
+
+    ds.map_batches(
+        Assign, fn_constructor_kwargs={"centroids_ref": cref},
+        batch_format="pyarrow", concurrency=2,
+    ).write_parquet(os.path.join(index_dir, "vectors"), partition_cols=["cluster"])
+    np.save(os.path.join(index_dir, "centroids.npy"), C)
+    return C
+
+
+def ivf_topk_indexed(
+    index_dir: str,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 4,
+) -> pa.Table:
+    """Probed search over a ``build_ivf_index`` output: reads ONLY the
+    probed clusters' partitions.  Logs scored-row count vs index size."""
+    import glob
+    import logging
+    import os
+
+    import ray
+    import ray.data as rd
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    union = {str(int(c)) for row in probe for c in row}
+    n_total = len(glob.glob(os.path.join(index_dir, "vectors", "cluster=*")))
+    logging.getLogger(__name__).info(
+        "ivf probe: reading %d/%d cluster partitions", len(union), n_total
+    )
+    # partition_filter prunes non-probed cluster directories AT THE READ
+    # (their files are never opened); hive partitioning restores `cluster`
+    pruned = rd.read_parquet(
+        os.path.join(index_dir, "vectors"),
+        partition_filter=PathPartitionFilter.of(
+            lambda kv, _u=union: kv.get("cluster") in _u, style="hive"
+        ),
+    )
+    allowed = [frozenset(int(c) for c in row) for row in probe]
+    qref = ray.put({"qids": np.asarray(query_ids), "Q": Q})
+
+    class ClusterScorer(_TopKScorer):
+        """Scores rows already assigned: per query, mask by its probed
+        clusters using the persisted ``cluster`` column (no re-assign)."""
+
+        def __init__(self, queries_ref, k, emb_col, id_col, allowed_sets):
+            super().__init__(queries_ref, k, emb_col, id_col, normalize=True)
+            self.allowed = allowed_sets
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            E = _normalize(_to_matrix(batch[self.emb_col]))
+            ids = batch[self.id_col].to_pandas().to_numpy()
+            cl = batch["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = []
+            for j, qid in enumerate(self.qids):
+                mask = np.isin(cl, list(self.allowed[j]))
+                if not mask.any():
+                    continue
+                S = E[mask] @ self.Q[j]
+                kk = min(self.k, int(mask.sum()))
+                rows = np.argpartition(-S, kk - 1)[:kk]
+                out.append(
+                    pd.DataFrame({"query_id": qid, self.id_col: ids[mask][rows], "score": S[rows]})
+                )
+            if not out:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        self.id_col: pa.array([], type=pa.int64()),
+                        "score": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+
+    partials = pruned.map_batches(
+        ClusterScorer,
+        fn_constructor_kwargs=dict(
+            queries_ref=qref, k=k, emb_col=emb_col, id_col=id_col, allowed_sets=allowed
+        ),
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return pa.Table.from_pandas(
+        out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 def ivf_topk(
     ds,
     queries: np.ndarray,
@@ -135,7 +276,9 @@ def ivf_topk(
     seed: int = 42,
     concurrency: int = 4,
 ) -> pa.Table:
-    """Approximate top-k: probe only the nprobe nearest centroids."""
+    """Approximate top-k: probe only the nprobe nearest centroids.
+    Index-free single-pass variant (assigns per batch); prefer
+    ``build_ivf_index`` + ``ivf_topk_indexed`` for repeated searches."""
     import ray
 
     sample = _to_matrix(
@@ -190,7 +333,7 @@ def ivf_topk(
             centroids_ref=cref, allowed_sets=allowed,
         ),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:

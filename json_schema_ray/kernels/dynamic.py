@@ -148,6 +148,25 @@ class CompiledSchema:
         return [] if out.ok else (out.errors or [])
 
 
+# "$schema" URI → dialect name; the analog of the reference's embedded
+# dialect registry (js/dialects/DialectRegistry.java:26-60 + dialects.zip)
+DIALECT_URIS = {
+    "https://json-schema.org/draft/2020-12/schema": "2020-12",
+    "http://json-schema.org/draft/2020-12/schema": "2020-12",
+    "https://json-schema.org/draft/2019-09/schema": "2019-09",
+    "http://json-schema.org/draft/2019-09/schema": "2019-09",
+    "https://json-schema.org/draft-07/schema": "draft7",
+    "http://json-schema.org/draft-07/schema": "draft7",
+}
+
+
+def detect_dialect(schema_uri: Any) -> str | None:
+    """Dialect from a ``$schema`` URI (trailing ``#`` tolerated), or None."""
+    if not isinstance(schema_uri, str):
+        return None
+    return DIALECT_URIS.get(schema_uri.rstrip("#"))
+
+
 class DynamicCompiler:
     """One compiler instance per (registry, dialect, options) — the analog of
     ``SchemaBuilder`` fold → ``Compiler.compileSchema``
@@ -156,14 +175,18 @@ class DynamicCompiler:
     def __init__(
         self,
         registry: SchemaRegistry | None = None,
-        dialect: str = "2020-12",
+        dialect: str | None = None,
         formats_assert: bool = False,
         content_processing: str = "default",  # disable|default|encoding|encoding_and_schema
         format_predicates: dict | None = None,
         regex_flavor: Callable[[str], Any] | None = None,
     ):
         self.registry = registry or SchemaRegistry()
-        self.dialect = dialect
+        # dialect=None → auto-detect from the root "$schema" at compile time
+        # (DialectRegistry analog, js/dialects/DialectRegistry.java:26-60),
+        # falling back to 2020-12; an explicit dialect always wins.
+        self._dialect_explicit = dialect is not None
+        self.dialect = dialect or "2020-12"
         self.formats_assert = formats_assert
         self.content_processing = content_processing
         self.formats = dict(FORMAT_PREDICATES)
@@ -178,6 +201,10 @@ class DynamicCompiler:
     # ------------------------------------------------------------- entry
 
     def compile(self, schema: Any, uri: str | None = None) -> CompiledSchema:
+        if not self._dialect_explicit and isinstance(schema, dict):
+            d = detect_dialect(schema.get("$schema"))
+            if d is not None:
+                self.dialect = d
         base = self.registry.register(schema, uri or DEFAULT_BASE)
         fn = self._compile(schema, base)
         return CompiledSchema(fn, base)
@@ -763,12 +790,14 @@ class DynamicCompiler:
 
 def compile_schema(
     schema: Any,
-    dialect: str = "2020-12",
+    dialect: str | None = None,
     formats_assert: bool = False,
     registry: SchemaRegistry | None = None,
     **opts,
 ) -> CompiledSchema:
-    """Convenience one-shot compile (``SchemaBuilder`` default path)."""
+    """Convenience one-shot compile (``SchemaBuilder`` default path).
+    ``dialect=None`` auto-detects from the root ``$schema`` (2020-12
+    fallback); pass a dialect to force one."""
     return DynamicCompiler(
         registry=registry, dialect=dialect, formats_assert=formats_assert, **opts
     ).compile(schema)

@@ -323,7 +323,48 @@ def compile_vector(schema: Any, dtype: pa.DataType, formats_assert: bool = True)
 
             parts.append(k_len)
         item_schema = schema.get("items")
-        if isinstance(item_schema, (dict, bool)) and "prefixItems" not in schema:
+        prefix = schema.get("prefixItems")
+        if prefix is None and isinstance(item_schema, list):
+            # draft7/2019 positional form: items: [s0, s1, ...] with
+            # additionalItems for the tail (js/compilers/v2019/Items2019Compiler.java:33-97)
+            prefix, rest = item_schema, schema.get("additionalItems")
+        else:
+            # 2020-12: prefixItems positional, items for the tail
+            # (js/compilers/v2020/PrefixItemsFactory.java:47-80)
+            rest = item_schema
+        if prefix is not None:
+            pre_kernels = tuple(compile_vector(s, dtype.value_type, formats_assert) for s in prefix)
+            rest_kernel = (
+                compile_vector(rest, dtype.value_type, formats_assert)
+                if isinstance(rest, (dict, bool))
+                else None
+            )
+
+            def k_positional(arr, _pks=pre_kernels, _rk=rest_kernel):
+                # ordinal mask over the flattened child array: element index
+                # within its parent list = arange - repeated segment starts;
+                # each positional kernel runs on the gather of its ordinal
+                a = _combine(arr)
+                vals, off = _list_segments(a)
+                lo, hi = off[0], off[-1]
+                m = int(hi - lo)
+                child_ok = np.ones(m, dtype=bool)
+                if m:
+                    sub = vals.slice(lo, m)
+                    ordinal = np.arange(m) - np.repeat(off[:-1] - lo, np.diff(off))
+                    for p, kern in enumerate(_pks):
+                        idx = np.where(ordinal == p)[0]
+                        if len(idx):
+                            child_ok[idx] = kern(sub.take(pa.array(idx)))
+                    if _rk is not None:
+                        idx = np.where(ordinal >= len(_pks))[0]
+                        if len(idx):
+                            child_ok[idx] = _rk(sub.take(pa.array(idx)))
+                ok = _segment_all(child_ok, off - lo)
+                return ok | ~_valid_mask(a)
+
+            parts.append(k_positional)
+        elif isinstance(item_schema, (dict, bool)):
             child_kernel = compile_vector(item_schema, dtype.value_type, formats_assert)
 
             def k_items(arr, _ck=child_kernel):
@@ -334,8 +375,6 @@ def compile_vector(schema: Any, dtype: pa.DataType, formats_assert: bool = True)
                 return ok | ~_valid_mask(a)
 
             parts.append(k_items)
-        elif "items" in schema or "prefixItems" in schema:
-            raise UnsupportedVector("positional items/prefixItems need the dynamic path")
         if "contains" in schema or "minContains" in schema or "maxContains" in schema:
             csub = compile_vector(schema.get("contains", True), dtype.value_type, formats_assert)
             cmin = schema.get("minContains", 1)

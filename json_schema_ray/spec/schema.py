@@ -9,9 +9,21 @@ turns any URI-reference into a concrete subschema node.  All resolution
 happens at **compile time** on the driver; compiled plans shipped to Ray
 workers contain no unresolved references (SURVEY.md §2.5).
 
-No network: external schemas must be pre-registered via ``register``
-(the analog of the reference's ``IExternalResolver`` /
-``SchemaBuilder.registerExternalSchema``, ``js/SchemaBuilder.java:228-285``).
+External resources resolve three ways, all compile-time/driver-side
+(workers only ever see flat compiled plans — no I/O in plans):
+
+- pre-registration via ``register`` (the analog of the reference's
+  ``IExternalResolver`` / ``SchemaBuilder.registerExternalSchema``,
+  ``js/SchemaBuilder.java:228-285``);
+- pluggable per-scheme **loaders** (``SchemaBuilder.registerResourceLoader``,
+  ``js/SchemaBuilder.java:103-133``): when ``resolve`` misses, the
+  loader for the URI's scheme fetches + registers the resource lazily,
+  mirroring ``SchemasRegistry.resolvePath``
+  (``js/loaders/SchemasRegistry.java:304-367``).  ``file_loader`` is the
+  ``FileLoader.java:152-174`` analog; ``http_loader``
+  (``HttpLoader.java:78-135``) exists but this sandbox has no network —
+  it raises at compile time unless the environment provides one;
+- unknown scheme/no loader → KeyError (never silent).
 """
 
 from __future__ import annotations
@@ -70,8 +82,35 @@ def pointer_get(doc: Any, pointer: str) -> Any:
     return node
 
 
+def file_loader(uri: str) -> Any:
+    """``file:`` scheme loader — compile-time, driver-side JSON read
+    (reference ``js/loaders/FileLoader.java:152-174``)."""
+    import json as _json
+    from urllib.request import url2pathname
+
+    with open(url2pathname(urlparse(uri).path)) as f:
+        return _json.load(f)
+
+
+def http_loader(uri: str) -> Any:
+    """``http(s):`` scheme loader (reference ``js/loaders/HttpLoader.java:78-135``).
+    Compile-time, driver-side only; raises URLError in network-less
+    environments — compiled plans never perform I/O either way."""
+    import json as _json
+    from urllib.request import urlopen
+
+    with urlopen(uri, timeout=10) as r:
+        return _json.loads(r.read().decode("utf-8"))
+
+
+DEFAULT_LOADERS = {"file": file_loader, "http": http_loader, "https": http_loader}
+
+
 class SchemaRegistry:
-    def __init__(self) -> None:
+    def __init__(self, loaders: dict[str, Any] | None = None) -> None:
+        # scheme -> callable(uri) -> schema document; consulted lazily on
+        # resolve() misses (pre-registered resources always win)
+        self.loaders: dict[str, Any] = dict(loaders) if loaders is not None else dict(DEFAULT_LOADERS)
         self.resources: dict[str, Any] = {}
         self.anchors: dict[tuple[str, str], Any] = {}
         self.dynamic_anchors: dict[tuple[str, str], Any] = {}
@@ -159,7 +198,20 @@ class SchemaRegistry:
         doc_uri, frag = urldefrag(abs_uri)
         frag = unquote(frag)
         if doc_uri not in self.resources:
-            raise KeyError(f"unresolvable $ref {ref!r} (base {base!r}): no resource {doc_uri!r}")
+            # lazy scheme-loader fetch + preprocess, compile-time only
+            loader = self.loaders.get(urlparse(doc_uri).scheme)
+            if loader is None:
+                raise KeyError(
+                    f"unresolvable $ref {ref!r} (base {base!r}): no resource {doc_uri!r} "
+                    f"and no loader for its scheme"
+                )
+            try:
+                loaded = loader(doc_uri)
+            except Exception as e:  # loader failure is still a compile error
+                raise KeyError(
+                    f"unresolvable $ref {ref!r}: loader for {doc_uri!r} failed: {e}"
+                ) from e
+            self.register(loaded, doc_uri)
         doc = self.resources[doc_uri]
         if not frag:
             return doc, self.base_of(doc, doc_uri)

@@ -226,3 +226,48 @@ def test_embedding_near_dup_finds_planted_pair(ray_session):
     out = embedding_near_dup(rd.from_arrow(tbl), threshold=0.98).to_pandas()
     assert {(3, 7)} <= set(zip(out["id_a"], out["id_b"]))
     assert (out["cosine"] >= 0.98).all()
+
+
+def test_ivf_indexed_recall_and_pruning(ray_session, tmp_path):
+    """Assign-once IVF index: probed search reads only probed cluster
+    partitions and its recall@10 vs exact brute force is high."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_ray.functions.similarity import (
+        _normalize,
+        brute_force_topk,
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    rng = np.random.RandomState(3)
+    # clustered data so IVF has structure to exploit
+    centers = rng.normal(size=(8, 24)) * 3
+    X = np.vstack([c + rng.normal(size=(100, 24)) * 0.4 for c in centers])
+    ids = np.arange(len(X), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(X.reshape(-1), type=pa.float64()), 24
+            ),
+        }
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(tbl), idx, n_clusters=8, seed=1)
+    # index layout: hive dirs per cluster
+    parts = [d for d in os.listdir(os.path.join(idx, "vectors")) if d.startswith("cluster=")]
+    assert len(parts) >= 4
+
+    Q = _normalize(X[:3])
+    qids = ids[:3]
+    got = ivf_topk_indexed(idx, Q, qids, k=10, nprobe=3, concurrency=2).to_pandas()
+    exact = brute_force_topk(rd.from_arrow(tbl), Q, qids, k=10, concurrency=1).to_pandas()
+    for q in qids:
+        g = set(got[got.query_id == q]["vec_id"])
+        e = set(exact[exact.query_id == q]["vec_id"])
+        assert len(g & e) / 10 >= 0.8, (q, g, e)

@@ -203,3 +203,47 @@ def test_advice_r1_fixes():
         type=lt,
     )
     assert list(compile_vector({"uniqueItems": True}, lt)(la)) == [True, False, False, True, True]
+
+
+def test_positional_items_vectorized():
+    """prefixItems / positional items / additionalItems now run on the
+    vector path (ordinal gather over the flattened child array) —
+    vector↔dynamic parity on spans-shaped list columns."""
+    import json as _json
+
+    lt = pa.list_(pa.string())
+    rows = [
+        ["text", "image", "x"],
+        ["text", "bogus", "y"],
+        ["text"],
+        [],
+        ["image"],
+        ["text", "image"],
+        None,
+        ["text", "image", "text", "audio"],
+    ]
+    arr = pa.array(rows, type=lt)
+
+    cases = [
+        # 2020-12: prefixItems + items tail
+        {"prefixItems": [{"const": "text"}, {"enum": ["image", "audio"]}],
+         "items": {"minLength": 1}},
+        # prefixItems only
+        {"prefixItems": [{"const": "text"}]},
+        # tail forbidden
+        {"prefixItems": [{"const": "text"}, {"const": "image"}], "items": False},
+        # draft7/2019 positional items + additionalItems
+        {"items": [{"const": "text"}, {"enum": ["image", "audio"]}],
+         "additionalItems": {"maxLength": 1}},
+        {"items": [{"const": "text"}], "additionalItems": False},
+    ]
+    for sch in cases:
+        kern = compile_vector(sch, lt)
+        got = kern(arr)
+        dialect = "draft7" if isinstance(sch.get("items"), list) else "2020-12"
+        cs = DynamicCompiler(dialect=dialect).compile(sch)
+        for i, row in enumerate(rows):
+            if row is None:
+                continue  # vector: null row passes (keyword doesn't apply)
+            want = cs.apply(_json.dumps(row)).ok
+            assert got[i] == want, (sch, row, got[i], want)
