@@ -97,10 +97,9 @@ def q_enum_violations(sf_dir: str) -> pa.Table:
     def bad_counts(batch: pa.Table) -> pa.Table:
         mask = kern(batch["event_type"])
         bad = batch.filter(pa.array(~mask))
-        import pandas as pd
-
-        c = bad.to_pandas().groupby("event_type").size().reset_index(name="n")
-        return pa.Table.from_pandas(c, preserve_index=False)
+        # Arrow-native partial (no pandas detour in the combiner)
+        g = pa.TableGroupBy(bad, "event_type").aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n"])
 
     partials = ds.map_batches(bad_counts, batch_format="pyarrow")
     from ray.data.aggregate import Sum

@@ -46,17 +46,17 @@ PLAN_FINGERPRINT = "span-plan-v1"  # bump when compiled constraints change
 _WORKER_VALIDATORS: dict = {}
 
 
-def _task_validator(catalog_ref):
+def _task_validator(catalog_ref, viol_dir: str | None = None):
     """Stateless-task flavor of the SpanValidator stage: same kernels, but
     scheduled as plain tasks over the (already warm) worker pool instead
     of a fresh actor pool.  State amortization comes from the per-worker
-    module cache keyed by the broadcast ObjectRef."""
+    module cache keyed by (broadcast ObjectRef, violation output dir)."""
 
     def validate_batch(batch: pa.Table) -> pa.Table:
-        key = catalog_ref.hex() if catalog_ref is not None else None
+        key = (catalog_ref.hex() if catalog_ref is not None else None, viol_dir)
         sv = _WORKER_VALIDATORS.get(key)
         if sv is None:
-            sv = SpanValidator(catalog_ref=catalog_ref)
+            sv = SpanValidator(catalog_ref=catalog_ref, viol_dir=viol_dir)
             _WORKER_VALIDATORS[key] = sv
         return sv(batch)
 
@@ -107,7 +107,7 @@ def run_validation(
     concurrency: int | None = None,
     batch_size: int = 8192,
     n_salts: int = 16,
-    distributed_sketch_merge: bool = False,
+    distributed_sketch_merge: bool | str = "auto",
     check_unique: bool = True,
     use_actors: bool = False,
     referential_strategy: str = "broadcast",  # "broadcast" | "hash" (large catalogs)
@@ -194,13 +194,23 @@ def run_validation(
         uniq_start = time.time()
         uniq_future = _uniq_pool.submit(_run_uniqueness)
 
+    # direct-write mode (default with an out_dir): each scan task writes its
+    # violation rows itself into the hive layout (side output, idempotent
+    # content-named files) — ONE pass over the input, tiny result stream,
+    # driver memory independent of violation count.  The hash-referential
+    # strategy keeps the stream mode because its dangling rows join the
+    # violation stream after the scan.
+    direct_write = viol_root is not None and referential_strategy == "broadcast"
+    viol_dir = viol_root if direct_write else None
+
     if use_actors:
         # actor pool: catalog loaded once per actor in __init__
         results_ds = ds.map_batches(
             SpanValidator,
-            fn_constructor_kwargs={"catalog_ref": catalog_ref},
+            fn_constructor_kwargs={"catalog_ref": catalog_ref, "viol_dir": viol_dir},
             batch_format="pyarrow",
             batch_size=batch_size,
+            zero_copy_batch=True,
             concurrency=concurrency or 4,
             num_cpus=1,
         )
@@ -209,32 +219,47 @@ def run_validation(
         # processes (no per-actor cold start); the broadcast catalog is
         # ray.get-cached per worker process (module-level cache)
         results_ds = ds.map_batches(
-            _task_validator(catalog_ref),
+            _task_validator(catalog_ref, viol_dir),
             batch_format="pyarrow",
             batch_size=batch_size,
+            zero_copy_batch=True,
         )
-    # results stream = violations + per-batch partials + sketch partials.
-    # Materialize ONCE in the object store (small relative to the input,
-    # spillable), then split with per-record-type filters: partials +
-    # sketches (a few rows per batch) come to the driver; VIOLATIONS stay a
-    # distributed Dataset end-to-end — written by Ray workers, never
-    # collected, so driver memory is independent of the violation count.
-    res = results_ds.materialize()
-    timings["scan_validate"] = time.time() - t
 
-    def _kind(ds_, k):
-        return ds_.map_batches(
-            lambda b, _k=k: b.filter(pc.equal(b["record_type"], _k)),
+    n_viol = 0
+    viol_ds = None
+    if direct_write:
+        aux = results_ds.to_pandas()  # partials + sketches only: tiny
+        timings["scan_validate"] = time.time() - t
+        partials = aux[aux["record_type"] == "partial"][
+            ["partition_id", "constraint_id", "n_docs", "n_bad"]
+        ]
+        sk_df = aux[aux["record_type"] == "sketch"][["feature", "sketch_kind", "blob"]]
+        n_viol = int(partials.loc[partials["constraint_id"] == "__viol_rows__", "n_bad"].sum())
+        partials = partials[partials["constraint_id"] != "__viol_rows__"]
+    else:
+        # stream mode: materialize the results ONCE, split by record type;
+        # violations stay a distributed Dataset written by Ray workers
+        res = results_ds.materialize()
+        timings["scan_validate"] = time.time() - t
+
+        def _kind(ds_, k):
+            return ds_.map_batches(
+                lambda b, _k=k: b.filter(pc.equal(b["record_type"], _k)),
+                batch_format="pyarrow",
+            )
+
+        aux = res.map_batches(
+            lambda b: b.filter(pc.not_equal(b["record_type"], "violation")).select(
+                ["record_type", "partition_id", "constraint_id", "n_docs", "n_bad",
+                 "feature", "sketch_kind", "blob"]
+            ),
             batch_format="pyarrow",
-        )
-
-    partials = _kind(res, "partial").select_columns(
-        ["partition_id", "constraint_id", "n_docs", "n_bad"]
-    ).to_pandas()
-    sk_df = _kind(res, "sketch").select_columns(
-        ["feature", "sketch_kind", "blob"]
-    ).to_pandas()
-    viol_ds = _kind(res, "violation")
+        ).to_pandas()
+        partials = aux[aux["record_type"] == "partial"][
+            ["partition_id", "constraint_id", "n_docs", "n_bad"]
+        ]
+        sk_df = aux[aux["record_type"] == "sketch"][["feature", "sketch_kind", "blob"]]
+        viol_ds = _kind(res, "violation").materialize()
 
     # -------- hash-partitioned referential semi-join (large catalogs) ----
     if catalog_path and referential_strategy == "hash":
@@ -243,7 +268,8 @@ def run_validation(
 
         REF_CID = "spans[].media_ref/referential"
         meta = CONSTRAINT_META[REF_CID]
-        dangling_ds = hash_referential_dangling(ds, catalog_path, collect=False)
+        dangling_ds = hash_referential_dangling(ds, catalog_path, collect=False).materialize()
+        scan_viol_ds = viol_ds  # scan-only violations (pre-union, materialized)
 
         def to_viol(b: pa.Table) -> pa.Table:
             k = len(b)
@@ -304,7 +330,7 @@ def run_validation(
             )
 
         per_part = (
-            _keys(_kind(res, "violation"), "scan")
+            _keys(scan_viol_ds, "scan")
             .union(_keys(dangling_ds, "ref"))
             .groupby(["partition_id", "doc_id"])
             .map_groups(per_doc, batch_format="pandas")
@@ -326,7 +352,8 @@ def run_validation(
                 )
         if extra_rows:
             partials = pd.concat([partials, pd.DataFrame(extra_rows)], ignore_index=True)
-    n_viol = viol_ds.count()
+    if viol_ds is not None:
+        n_viol = viol_ds.count()
 
     # ---------------- stage 2: uniqueness shuffle (join) ----------------
     dup_tbl = None
@@ -338,7 +365,12 @@ def run_validation(
         timings["uniqueness_shuffle"] = time.time() - uniq_start
 
     # ---------------- stage 3: sketch merge ----------------------------
+    # "auto": two-level Ray tree merge only when the partial-blob count
+    # justifies a distributed job; below that the driver merge is faster
+    # (no stage-launch latency)
     t = time.time()
+    if distributed_sketch_merge == "auto":
+        distributed_sketch_merge = len(sk_df) > 2000
     if distributed_sketch_merge and len(sk_df):
         profile = merge_sketches_distributed(rd.from_pandas(sk_df.reset_index(drop=True)))
     else:
@@ -352,9 +384,10 @@ def run_validation(
 
     # ---------------- stage 5: write + verdicts + manifest --------------
     t = time.time()
-    if viol_root and n_viol:
-        # distributed partitioned write: Ray workers write hive-layout
-        # parquet per partition_id — the driver never holds violation rows
+    if viol_root and n_viol and viol_ds is not None:
+        # stream mode: distributed partitioned write — Ray workers write
+        # hive-layout parquet per partition_id; the driver never holds
+        # violation rows.  (Direct-write mode already wrote them in-scan.)
         viol_cols = [
             "partition_id", "doc_id", "span_index", "constraint_id",
             "error_type", "expected", "actual", "message",

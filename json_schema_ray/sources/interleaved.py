@@ -235,41 +235,99 @@ def interleave_from_documents(
     (doc_id,text,lang,source,n_chars — TESTDATA.md) into the interleaved
     ``input_hint`` shape: each doc's text split into ~3 text spans plus
     one media span whose ref hashes off the doc_id; a fraction of refs
-    is withheld from the catalog (expected dangling set)."""
+    is withheld from the catalog (expected dangling set).
+
+    Fully vectorized: the span text child is built ZERO-COPY by offset
+    arithmetic over the source column's own data buffer (each piece is a
+    contiguous byte range of the original string; thirds computed on
+    byte offsets — identical to code points for this ASCII corpus, and
+    guarded by an exact-length check with a code-point fallback), and
+    kind/ref children are pool-index ``pc.take``s like ``generate()``.
+    """
+    import pyarrow.compute as pc
+
     rng = np.random.RandomState(seed)
     n = len(docs)
-    doc_ids = np.array([f"doc-{d}" for d in docs["doc_id"].to_pylist()])
-    texts = docs["text"].to_pandas().fillna("").to_numpy()
-
-    kinds_l, texts_l, refs_l, offs_l, offsets = [], [], [], [], [0]
+    did_col = docs["doc_id"]
+    doc_ids = np.array(
+        pc.binary_join_element_wise("doc-", pc.cast(did_col, pa.string()), "").to_pylist()
+    )
     media_kind_pool = np.array(KINDS[1:])
     ref_ids = rng.permutation(n)
-    for i in range(n):
-        t = texts[i]
-        third = max(1, len(t) // 3)
-        pieces = [t[:third], t[third : 2 * third], t[2 * third :]] if t else []
-        pieces = [p for p in pieces if p]
-        ref = "media://" + _media_uuid(int(ref_ids[i]))
-        k = [*(["text"] * len(pieces)), str(media_kind_pool[i % 3])]
-        kinds_l.extend(k)
-        texts_l.extend([*pieces, None])
-        refs_l.extend([None] * len(pieces) + [ref])
-        offs_l.extend(range(len(pieces) + 1))
-        offsets.append(offsets[-1] + len(pieces) + 1)
+
+    ta = docs["text"]
+    if isinstance(ta, pa.ChunkedArray):
+        ta = ta.combine_chunks()
+    ta = ta.fill_null("")
+    large = pa.types.is_large_string(ta.type)
+    otype = np.int64 if large else np.int32
+    bufs = ta.buffers()  # [validity, offsets, data]
+    offs = np.frombuffer(bufs[1], dtype=otype)[ta.offset : ta.offset + n + 1].astype(np.int64)
+
+    # ASCII guard: byte-thirds == code-point-thirds only when 1 byte = 1 cp
+    n_bytes = int(offs[-1] - offs[0])
+    n_cp = int(pc.sum(pc.utf8_length(ta)).as_py() or 0)
+    if n_bytes != n_cp:  # non-ASCII corpus: split on code points (slow path)
+        texts = ta.to_pandas().to_numpy()
+        pieces_all = []
+        for t in texts:
+            third = max(1, len(t) // 3)
+            ps = [p for p in (t[:third], t[third : 2 * third], t[2 * third :]) if p] if t else []
+            pieces_all.append(ps)
+        n_pieces = np.array([len(p) for p in pieces_all], dtype=np.int64)
+        text_vals = pa.array(
+            [x for ps in pieces_all for x in (*ps, None)], type=pa.string()
+        )
+    else:
+        b0, b3 = offs[:-1], offs[1:]
+        third = np.maximum(1, (b3 - b0) // 3)
+        b1 = np.minimum(b0 + third, b3)
+        b2 = np.minimum(b0 + 2 * third, b3)
+        cand = np.stack([b0, b1, b2, b3], axis=1)  # candidate piece starts
+        keep = np.concatenate(
+            [cand[:, 1:] > cand[:, :-1], np.ones((n, 1), dtype=bool)], axis=1
+        )  # 3 piece-nonempty flags + always-keep media slot
+        n_pieces = keep[:, :3].sum(axis=1)
+        child_starts = cand[keep]  # row-major → doc order preserved
+        child_offsets = np.concatenate([child_starts, offs[-1:]]).astype(otype)
+        total0 = len(child_starts)
+        valid = np.ones(total0, dtype=bool)
+        valid[np.cumsum(n_pieces + 1) - 1] = False  # media slot text = null
+        cls = pa.LargeStringArray if large else pa.StringArray
+        text_vals = cls.from_buffers(
+            total0,
+            pa.py_buffer(child_offsets.tobytes()),
+            bufs[2],  # SHARED source data buffer — no string copies
+            pa.py_buffer(np.packbits(valid, bitorder="little").tobytes()),
+            int((~valid).sum()),
+        )
+
+    n_spans = n_pieces + 1
+    total = int(n_spans.sum())
+    doc_of = np.repeat(np.arange(n), n_spans)
+    span_offsets = (np.arange(total) - np.repeat(np.cumsum(n_spans) - n_spans, n_spans)).astype(np.int32)
+    is_media = span_offsets == n_pieces[doc_of].astype(np.int32)
+
+    kind_pool = pa.array(list(KINDS))
+    kind_idx = np.where(is_media, 1 + (doc_of % 3), 0).astype(np.int32)
+    ref_pool = pa.array(["media://" + _media_uuid(int(r)) for r in ref_ids])
+    ref_idx = np.where(is_media, doc_of, -1).astype(np.int32)
 
     span_type = pa.struct(
         [("kind", pa.string()), ("text", pa.string()), ("media_ref", pa.string()), ("offset", pa.int32())]
     )
     flat = pa.StructArray.from_arrays(
         [
-            pa.array(kinds_l, type=pa.string()),
-            pa.array(texts_l, type=pa.string()),
-            pa.array(refs_l, type=pa.string()),
-            pa.array(offs_l, type=pa.int32()),
+            pc.take(kind_pool, pa.array(kind_idx)),
+            text_vals,
+            pc.take(ref_pool, pa.array(ref_idx, mask=ref_idx < 0)),
+            pa.array(span_offsets, type=pa.int32()),
         ],
         fields=list(span_type),
     )
-    spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+    list_offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(n_spans, out=list_offsets[1:])
+    spans = pa.ListArray.from_arrays(pa.array(list_offsets, type=pa.int32()), flat)
     partition_id = (np.arange(n) * n_parts // max(1, n)).astype(np.int32)
     documents = pa.table(
         {

@@ -65,74 +65,94 @@ def salted_group_count(ds: "ray.data.Dataset", key: str, n_salts: int = 16) -> "
     return salted.groupby([key, "partition_id"]).aggregate(Sum("cnt", alias_name="cnt"))
 
 
-def find_duplicate_keys(ds: "ray.data.Dataset", key: str = "doc_id", n_salts: int = 16) -> pa.Table:
+def _count_mapreduce(ds: "ray.data.Dataset", key: str, n_buckets: int, reduce_table):
+    """Explicit hash-partitioned map-reduce over per-block key counts.
+
+    Why raw Ray tasks here: ``groupby(bucket).map_groups`` expresses the
+    same plan but routes 100% of the rows through Ray Data's sort-based
+    shuffle — measured 4.4-7 s for a 600k-key uniqueness check at 32
+    CPUs where this explicit exchange runs in ~1 s (the counts are
+    already combiner-collapsed, so the exchange is pure hash routing; a
+    sort buys nothing).  Semantics stay associative+commutative count
+    merges → order-insensitive and retry-safe (Ray lineage re-executes a
+    lost map output; reducers are pure).
+
+    Skew: a hot key is collapsed to ONE row per block by the
+    ``value_counts`` combiner before the exchange, so its reducer
+    receives ≤ n_blocks rows — the salting analog for unique-key checks.
+    ``n_buckets`` bounds reducer fan-in; scale with cluster size.
+    """
+    import pyarrow.compute as pc_
+
+    import ray as _ray
+
+    @_ray.remote
+    def mapper(tbl, nb: int):
+        if not isinstance(tbl, pa.Table):
+            tbl = pa.Table.from_pandas(tbl)
+        vc = pc_.value_counts(tbl[key])
+        keys, cnts = vc.field("values"), vc.field("counts")
+        h = pd.util.hash_pandas_object(keys.to_pandas(), index=False).to_numpy()
+        b = (h % nb).astype(np.int32)
+        t = pa.table({key: keys, "cnt": cnts})
+        order = np.argsort(b, kind="stable")
+        t = t.take(pa.array(order))
+        cuts = np.searchsorted(b[order], np.arange(nb + 1))
+        return tuple(t.slice(cuts[i], cuts[i + 1] - cuts[i]) for i in range(nb))
+
+    @_ray.remote
+    def reducer(*parts):
+        return reduce_table(pa.concat_tables(parts))
+
+    mapper_n = mapper.options(num_returns=n_buckets)
+    map_refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            map_refs.append(mapper_n.remote(block_ref, n_buckets))
+    if not map_refs:
+        return []
+    outs = [reducer.remote(*[r[i] for r in map_refs]) for i in range(n_buckets)]
+    return _ray.get(outs)
+
+
+def find_duplicate_keys(
+    ds: "ray.data.Dataset", key: str = "doc_id", n_salts: int = 16, n_buckets: int = 64
+) -> pa.Table:
     """doc_id-uniqueness check: keys appearing more than once.  Input
     dataset should already be pruned to [key(, partition_id)] columns.
 
-    ONE shuffle: the per-batch combiner collapses within-batch repeats
-    (a hot key contributes ≤ one row per batch — THAT is the skew
-    mitigation for a unique-key check, where salting the final groupby
-    would not reduce reducer load further since each key's partials are
-    already ≤ n_batches rows), then a single ``groupby(key).Sum`` and a
-    vectorized dup filter.  ``salted_group_count`` remains the explicit
-    salted path for COARSE hot keys (few distinct values).
+    Per-block ``value_counts`` combiner (collapses within-block repeats;
+    a hot key contributes ≤ one row per block) → explicit hash-bucket
+    exchange (``_count_mapreduce``) → per-bucket Arrow sum + dup filter.
+    ``salted_group_count`` remains the explicit salted Dataset-API path
+    for COARSE hot keys (few distinct values).
     Output (small, ∝ #duplicates): (key, total_cnt)."""
+    import pyarrow.compute as pc_
 
-    n_buckets = 256
+    def dups(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, key).aggregate([("cnt", "sum")])
+        bad = agg.filter(pc_.greater(agg["cnt_sum"], 1))
+        return pa.table({key: bad[key], "total_cnt": bad["cnt_sum"]})
 
-    def combiner(batch: pa.Table) -> pa.Table:
-        k = batch[key].to_pandas()
-        cnt = k.groupby(k, dropna=False).size()
-        keys = cnt.index.to_numpy()
-        b = (
-            pd.util.hash_pandas_object(pd.Series(keys), index=False).to_numpy() % n_buckets
-        ).astype(np.int32)
-        return pa.table(
-            {
-                key: pa.array(keys),
-                "cnt": pa.array(cnt.to_numpy(), type=pa.int64()),
-                "bucket": pa.array(b),
-            }
-        )
-
-    def bucket_dups(g: pd.DataFrame) -> pd.DataFrame:
-        tot = g.groupby(key)["cnt"].sum()
-        d = tot[tot > 1]
-        return pd.DataFrame({key: d.index.to_numpy(), "total_cnt": d.to_numpy()})
-
-    # hash-partition on a small int bucket (the shuffle sorts an int32, not
-    # millions of unique strings — 2× faster measured at 6M keys), then an
-    # exact per-bucket pandas count
-    out = (
-        ds.map_batches(combiner, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_dups, batch_format="pandas")
-        .to_pandas()
-    )
-    if len(out) == 0:
+    parts = _count_mapreduce(ds, key, n_buckets, dups)
+    out = pa.concat_tables(parts) if parts else None
+    if out is None or len(out) == 0:
         return pa.table(
             {
                 key: pa.array([], type=pa.string()),
                 "total_cnt": pa.array([], type=pa.int64()),
             }
         )
-    return pa.Table.from_pandas(out[[key, "total_cnt"]], preserve_index=False)
+    return out
 
 
-def exact_distinct_count(ds: "ray.data.Dataset", key: str) -> int:
-    """Exact COUNT(DISTINCT key): per-batch unique combiner → one
-    groupby shuffle over the (collapsed) partials → row count."""
+def exact_distinct_count(ds: "ray.data.Dataset", key: str, n_buckets: int = 64) -> int:
+    """Exact COUNT(DISTINCT key): per-block unique combiner → explicit
+    hash exchange → per-bucket distinct counts summed on the driver."""
 
-    def uniq(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc_
+    def ndistinct(g: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(g, key).aggregate([])
+        return pa.table({"n": pa.array([len(agg)], type=pa.int64())})
 
-        return pa.table({key: pc_.unique(batch[key])})
-
-    from ray.data.aggregate import Count
-
-    return (
-        ds.map_batches(uniq, batch_format="pyarrow")
-        .groupby(key)
-        .aggregate(Count(alias_name="n"))
-        .count()
-    )
+    parts = _count_mapreduce(ds, key, n_buckets, ndistinct)
+    return int(sum(p["n"][0].as_py() for p in parts)) if parts else 0

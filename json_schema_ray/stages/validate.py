@@ -130,6 +130,7 @@ class SpanValidator:
         catalog_ref=None,  # ray.ObjectRef of a list/ndarray of valid media refs, or the values themselves
         violation_cap: int | None = 10_000,
         with_sketches: bool = True,
+        viol_dir: str | None = None,
     ):
         import ray
 
@@ -139,6 +140,42 @@ class SpanValidator:
         self.catalog = pa.array(refs, type=pa.string()) if refs is not None else None
         self.cap = violation_cap
         self.with_sketches = with_sketches
+        # side-output mode: each task writes its own violation rows straight
+        # into the hive-partitioned output (deterministic content-derived
+        # filenames → a retried task overwrites its own file, idempotent)
+        # and emits only a per-partition ``__viol_rows__`` count partial —
+        # the driver never touches a violation row and the pipeline needs
+        # no second pass over the results stream.
+        self.viol_dir = viol_dir
+
+    # ------------------------------------------------------------------
+
+    _VIOL_COLS = [
+        "doc_id", "span_index", "constraint_id", "error_type",
+        "expected", "actual", "message",
+    ]
+
+    def _write_violations(self, vt: pa.Table, rows: list[dict]) -> None:
+        import hashlib
+        import os
+
+        import pyarrow.parquet as pq
+
+        pids = np.unique(pc.cast(vt["partition_id"], pa.int32()).to_numpy(zero_copy_only=False))
+        for p in pids:
+            sub = vt.filter(pc.equal(vt["partition_id"], pa.scalar(int(p), type=pa.int32())))
+            d = os.path.join(self.viol_dir, f"partition_id={int(p)}")
+            os.makedirs(d, exist_ok=True)
+            ident = "|".join(
+                [str(int(p)), str(sub["doc_id"][0]), str(sub["span_index"][0].as_py()),
+                 str(sub["constraint_id"][0]), str(len(sub))]
+            )
+            name = hashlib.sha1(ident.encode()).hexdigest()[:16]
+            pq.write_table(sub.select(self._VIOL_COLS), os.path.join(d, f"part-{name}.parquet"))
+            rows.append(
+                {"record_type": "partial", "partition_id": int(p),
+                 "constraint_id": "__viol_rows__", "n_docs": 0, "n_bad": int(len(sub))}
+            )
 
     # ------------------------------------------------------------------
 
@@ -342,9 +379,15 @@ class SpanValidator:
                     }
                 )
 
+        vt = (
+            pa.concat_tables([t.cast(RESULT_SCHEMA) for t in viol_chunks])
+            if viol_chunks
+            else None
+        )
+        if vt is not None and self.viol_dir is not None:
+            self._write_violations(vt, rows)  # side-output; adds count partials
+            vt = None
         out = _rows_to_table(rows)  # partial + sketch rows (few per batch)
-        if viol_chunks:
-            out = pa.concat_tables(
-                [t.cast(RESULT_SCHEMA) for t in viol_chunks] + [out.cast(RESULT_SCHEMA)]
-            )
+        if vt is not None:
+            out = pa.concat_tables([vt, out.cast(RESULT_SCHEMA)])
         return out
