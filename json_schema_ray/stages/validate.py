@@ -191,8 +191,13 @@ class SpanValidator:
             pid = np.zeros(n, dtype=np.int32)
 
         off = spans.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = spans.values  # struct array (may include pre-slice values)
         lo, hi = off[0], off[-1]
+        # CRITICAL: slice the child array BEFORE any compute.  A batch that
+        # is a zero-copy slice of a bigger block (the normal case under
+        # batch_size re-batching) exposes the PARENT's full child array via
+        # .values — computing kernels on it and indexing [lo:hi] afterwards
+        # would redo the whole block's work for every one of its slices.
+        flat = spans.values.slice(lo, hi - lo)  # zero-copy view
         kind = pc.struct_field(flat, "kind")
         text = pc.struct_field(flat, "text")
         mref = pc.struct_field(flat, "media_ref")
@@ -204,22 +209,21 @@ class SpanValidator:
         valid = lambda a: pc.is_valid(a).to_numpy(zero_copy_only=False)  # noqa: E731
 
         n_spans = np.diff(off)
-        doc_idx_of_span = np.repeat(np.arange(n), n_spans)  # aligned to flat[lo:hi]
+        doc_idx_of_span = np.repeat(np.arange(n), n_spans)  # aligned to flat
         span_pos = np.arange(hi - lo) - np.repeat(off[:-1] - lo, n_spans)
 
-        sl = slice(lo, hi)
-        kind_np_ok = np_bool(pc.is_in(kind, value_set=pa.array(KINDS)))[sl]
-        is_text = np_bool(pc.equal(kind, "text"))[sl]
+        kind_np_ok = np_bool(pc.is_in(kind, value_set=pa.array(KINDS)))
+        is_text = np_bool(pc.equal(kind, "text"))
         # media span = kind ∈ {image,audio,video}; an invalid kind triggers
         # ONLY the enum constraint (one violation per root cause)
-        is_media = np_bool(pc.is_in(kind, value_set=pa.array(KINDS[1:])))[sl]
-        text_ok = ~is_text | valid(text)[sl]
-        mref_present = valid(mref)[sl]
-        mref_fmt = np_bool(pc.match_substring_regex(mref, MEDIA_REF_RE))[sl]
+        is_media = np_bool(pc.is_in(kind, value_set=pa.array(KINDS[1:])))
+        text_ok = ~is_text | valid(text)
+        mref_present = valid(mref)
+        mref_fmt = np_bool(pc.match_substring_regex(mref, MEDIA_REF_RE))
         media_ok = ~is_media | (mref_present & mref_fmt)
 
         # strictly increasing offsets within each doc
-        so = soff.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)[sl]
+        so = soff.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
         order_ok = np.ones(hi - lo, dtype=bool)
         if hi - lo > 1:
             inc = so[1:] > so[:-1]
@@ -227,7 +231,7 @@ class SpanValidator:
             order_ok[1:] = inc | ~same_doc
 
         if self.catalog is not None:
-            in_cat = np_bool(pc.is_in(mref, value_set=self.catalog))[sl]
+            in_cat = np_bool(pc.is_in(mref, value_set=self.catalog))
             ref_ok = ~is_media | ~mref_fmt | in_cat  # only well-formed refs checked
         else:
             ref_ok = np.ones(hi - lo, dtype=bool)
@@ -308,7 +312,7 @@ class SpanValidator:
                 actual = None
                 if actual_arr is not None:
                     actual = pc.cast(
-                        actual_arr.slice(lo, hi - lo).take(pa.array(capped)), pa.string()
+                        actual_arr.take(pa.array(capped)), pa.string()
                     )
                 emit_violations(
                     cid, etype, doc_idx_of_span[capped],
@@ -358,12 +362,12 @@ class SpanValidator:
         # ---- sketch partials -------------------------------------------
         if self.with_sketches:
             td_spans = TDigest().add_values(n_spans.astype(np.float64))
-            tlens = pc.utf8_length(text).slice(lo, hi - lo)
+            tlens = pc.utf8_length(text)
             td_tlen = TDigest().add_values(
                 tlens.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
             )
             hll_doc = HyperLogLog().add_column(doc_id)
-            hll_ref = HyperLogLog().add_column(mref.slice(lo, hi - lo))
+            hll_ref = HyperLogLog().add_column(mref)
             for feature, kind_, blob in (
                 ("n_spans", "tdigest", td_spans.to_bytes()),
                 ("text_len", "tdigest", td_tlen.to_bytes()),
