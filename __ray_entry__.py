@@ -516,7 +516,9 @@ def q_span_validation(sf_dir: str) -> pa.Table:
 
 
 def q_media_decode(sf_dir: str) -> pa.Table:
-    """Multimodal stub path: media spans → decode actor pool (fake codec)."""
+    """Multimodal path: media spans → synthesized BMP payloads → REAL
+    stdlib decode (PIL hook first, hash-fake only for undecodable
+    formats) in an actor pool."""
     import ray.data as rd
 
     from json_schema_ray.functions.media import decode_media_spans
@@ -526,13 +528,16 @@ def q_media_decode(sf_dir: str) -> pa.Table:
     data = interleave_from_documents(docs, seed=42, n_parts=4)
     work = os.path.join(tempfile.gettempdir(), f"jsr_m_{abs(hash(sf_dir)) % 99999}")
     paths = write_dataset(work, data)
-    decoded = decode_media_spans(rd.read_parquet(paths["documents"]), batch_size=256, concurrency=2)
-    import pandas as pd
-
+    decoded = decode_media_spans(
+        rd.read_parquet(paths["documents"]), batch_size=256, concurrency=2,
+        synthesize_payloads=True,
+    )
     df = decoded.to_pandas()
+    n_real = int((df["decode_path"] == "stdlib").sum() + (df["decode_path"] == "pil").sum())
     return pa.table(
         {
             "n_decoded": pa.array([len(df)], type=pa.int64()),
+            "n_real_decodes": pa.array([n_real], type=pa.int64()),
             "avg_width": pa.array([round(float(df["width"].mean()), 3)], type=pa.float64()),
         }
     )

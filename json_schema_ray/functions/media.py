@@ -1,13 +1,20 @@
 """Multimodal column stages: decode / feature-extract / resize /
 frame-sample over opaque ``binary`` media payloads with typed metadata.
 
-The Ray-side plumbing (schemas, actor-pool signatures, batch sizing,
-output layout) is REAL and tested; the codec itself is STUBBED because
-image/audio libraries are not in this container: each decoder first
-tries the real library import, and otherwise uses a clearly marked
-deterministic fake (hash-derived dimensions / features) so pipelines
-are exercisable end-to-end.  Set ``strict=True`` to get the
-``NotImplementedError`` instead of the fake.
+Decode resolution order per payload:
+
+1. **PIL**, when importable (not in this container — the import hook is
+   real and tested by force-injecting a stub module);
+2. **stdlib codecs** (this module): uncompressed 24/32-bit BMP and
+   binary PPM (P6) are decoded to real pixel arrays with numpy — a REAL
+   decode path with zero external dependencies, exercised end-to-end by
+   ``q_media_decode`` over deterministically generated BMP payloads;
+3. deterministic hash-derived fake (``strict=False``) or
+   ``NotImplementedError`` (``strict=True``) for formats neither path
+   can handle (JPEG/PNG/video need the absent libraries).
+
+Features are an 8×8 mean-pooled grayscale grid (vectorized numpy) for
+real decodes, hash-seeded vectors on the fake path.
 
 Batch-size note (memory-aware, SURVEY.md §4): media payloads are large —
 callers should pass a SMALL ``batch_size`` (e.g. 32-256) so
@@ -18,9 +25,82 @@ default.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
+
+# --------------------------------------------------- stdlib image codecs
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BMP (BITMAPINFOHEADER)."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    img = np.zeros((h, stride), dtype=np.uint8)
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, BGR order
+    img[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = img.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + dib + data
+
+
+def decode_image_bytes(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode BMP (24/32-bit BI_RGB) or PPM (P6) → (w, h, channels,
+    (h, w, 3) uint8 RGB).  Raises ValueError for other formats."""
+    if payload[:2] == b"BM":
+        off = struct.unpack_from("<I", payload, 10)[0]
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        comp = struct.unpack_from("<I", payload, 30)[0]
+        if comp != 0 or bpp not in (24, 32):
+            raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+        flip = h > 0
+        h = abs(h)
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        rows = np.frombuffer(payload, dtype=np.uint8, count=h * stride, offset=off)
+        px = rows.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
+        if flip:
+            px = px[::-1]
+        rgb = px[:, :, 2::-1] if nb >= 3 else px  # BGR(A) → RGB
+        return w, h, 3, np.ascontiguousarray(rgb[:, :, :3])
+    if payload[:2] == b"P6":
+        # P6\n<w> <h>\n<maxval>\n<binary RGB>
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment line
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval > 255:
+            raise ValueError("16-bit PPM unsupported")
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return w, h, 3, px.reshape(h, w, 3).copy()
+    raise ValueError("unknown image format (not BMP/P6 PPM)")
+
+
+def _mean_pool_feature(rgb: np.ndarray, dim: int) -> np.ndarray:
+    """8×8 mean-pooled grayscale grid → feature vector (padded/truncated
+    to ``dim``).  Pure vectorized numpy."""
+    g = rgb.astype(np.float32).mean(axis=2)
+    h, w = g.shape
+    gy, gx = min(8, h), min(8, w)
+    g = g[: (h // gy) * gy, : (w // gx) * gx]
+    pooled = g.reshape(gy, h // gy, gx, w // gx).mean(axis=(1, 3)) / 255.0
+    flat = pooled.reshape(-1).astype(np.float32)
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(flat))] = flat[:dim]
+    return out
 
 DECODED_IMAGE_SCHEMA = pa.schema(
     [
@@ -29,8 +109,20 @@ DECODED_IMAGE_SCHEMA = pa.schema(
         ("height", pa.int32()),
         ("n_channels", pa.int32()),
         ("feature", pa.list_(pa.float32())),
+        ("decode_path", pa.string()),  # "pil" | "stdlib" | "fake"
     ]
 )
+
+
+def synth_bmp_payload(ref: str) -> bytes:
+    """Deterministic small BMP derived from the ref hash (test/bench
+    payload source — exercises the REAL stdlib decode path without
+    external data)."""
+    h = hashlib.sha256((ref or "").encode()).digest()
+    w, ht = 8 + h[0] % 9, 8 + h[1] % 9
+    seed = int.from_bytes(h[:4], "little")
+    px = np.random.RandomState(seed).randint(0, 256, size=(ht, w, 3), dtype=np.uint8)
+    return encode_bmp(px)
 
 
 def _fake_dims(ref: str) -> tuple[int, int, int]:
@@ -60,25 +152,50 @@ class ImageDecoder:
         except ImportError:
             self._pil = None
 
+    def _decode_one(self, ref: str, payload: bytes | None):
+        """→ (w, h, channels, feature, path) — resolution order: PIL →
+        stdlib BMP/PPM → fake/strict (module docstring)."""
+        if payload is not None:
+            if self._pil is not None:
+                import io
+
+                try:
+                    img = self._pil.open(io.BytesIO(payload))
+                    rgb = np.asarray(img.convert("RGB"))
+                    return (
+                        img.width, img.height, 3,
+                        _mean_pool_feature(rgb, self.feature_dim), "pil",
+                    )
+                except Exception:
+                    pass  # fall through to stdlib codecs
+            try:
+                w, h, c, rgb = decode_image_bytes(bytes(payload))
+                return w, h, c, _mean_pool_feature(rgb, self.feature_dim), "stdlib"
+            except ValueError:
+                pass
+        if self.strict:
+            raise NotImplementedError(
+                "no decoder for this payload: PIL absent and format is not "
+                "BMP/PPM (strict=True; set strict=False for the deterministic fake)"
+            )
+        d = _fake_dims(ref or "")
+        return d[0], d[1], d[2], _fake_feature(ref or "", self.feature_dim), "fake"
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch["media_ref"].to_pylist()
-        if self._pil is None:
-            if self.strict:
-                raise NotImplementedError(
-                    "image decode requires PIL; container has no image codecs "
-                    "(STUB — deterministic fake used when strict=False)"
-                )
-            dims = [_fake_dims(r or "") for r in refs]
-            feats = [_fake_feature(r or "", self.feature_dim) for r in refs]
-        else:  # pragma: no cover - not reachable in this container
-            raise NotImplementedError("real decode path: wire payload bytes → PIL here")
+        payloads = batch["payload"].to_pylist() if "payload" in batch.column_names else [None] * len(refs)
+        ws, hs, cs, feats, paths = [], [], [], [], []
+        for r, p in zip(refs, payloads):  # per-item: codecs decode one image at a time
+            w, h, c, f, path = self._decode_one(r, p)
+            ws.append(w); hs.append(h); cs.append(c); feats.append(f); paths.append(path)
         return pa.table(
             {
                 "media_ref": batch["media_ref"],
-                "width": pa.array([d[0] for d in dims], type=pa.int32()),
-                "height": pa.array([d[1] for d in dims], type=pa.int32()),
-                "n_channels": pa.array([d[2] for d in dims], type=pa.int32()),
+                "width": pa.array(ws, type=pa.int32()),
+                "height": pa.array(hs, type=pa.int32()),
+                "n_channels": pa.array(cs, type=pa.int32()),
                 "feature": pa.array([f.tolist() for f in feats], type=pa.list_(pa.float32())),
+                "decode_path": pa.array(paths, type=pa.string()),
             }
         )
 
@@ -122,16 +239,30 @@ class FrameSampler:
         )
 
 
-def decode_media_spans(docs_ds, batch_size: int = 128, concurrency: int = 2, feature_dim: int = 64):
+def decode_media_spans(
+    docs_ds, batch_size: int = 128, concurrency: int = 2, feature_dim: int = 64,
+    synthesize_payloads: bool = False,
+):
     """End-to-end media path over the interleaved table: explode media
-    spans → deduplicate refs within batch → ImageDecoder actor pool."""
+    spans → deduplicate refs within batch → ImageDecoder actor pool.
+
+    ``synthesize_payloads=True`` attaches a deterministic BMP payload per
+    ref so the REAL stdlib decode path runs (the interleaved test corpus
+    stores refs, not bytes; a production table would carry the payload
+    column directly)."""
     import pyarrow.compute as pc
 
     def explode_refs(batch: pa.Table) -> pa.Table:
         spans = batch["spans"].combine_chunks() if isinstance(batch["spans"], pa.ChunkedArray) else batch["spans"]
         flat = spans.flatten()
         refs = pc.struct_field(flat, "media_ref").drop_null().unique()
-        return pa.table({"media_ref": refs})
+        t = pa.table({"media_ref": refs})
+        if synthesize_payloads:
+            t = t.append_column(
+                "payload",
+                pa.array([synth_bmp_payload(r) for r in refs.to_pylist()], type=pa.binary()),
+            )
+        return t
 
     refs = docs_ds.map_batches(explode_refs, batch_format="pyarrow")
     return refs.map_batches(

@@ -165,7 +165,7 @@ def test_media_stub_pipeline(ray_session, tmp_path):
     paths = write_dataset(str(tmp_path), data)
     docs = rd.read_parquet(paths["documents"])
     decoded = decode_media_spans(docs, batch_size=64, concurrency=2).to_pandas()
-    assert set(decoded.columns) == {"media_ref", "width", "height", "n_channels", "feature"}
+    assert set(decoded.columns) == {"media_ref", "width", "height", "n_channels", "feature", "decode_path"}
     assert (decoded["n_channels"] == 3).all()
     assert all(len(f) == 64 for f in decoded["feature"])
     # deterministic fake: same ref -> same dims
@@ -271,3 +271,73 @@ def test_ivf_indexed_recall_and_pruning(ray_session, tmp_path):
         g = set(got[got.query_id == q]["vec_id"])
         e = set(exact[exact.query_id == q]["vec_id"])
         assert len(g & e) / 10 >= 0.8, (q, g, e)
+
+
+def test_media_stdlib_codecs_roundtrip():
+    """Real decode path: BMP/PPM bytes → exact pixel recovery, and the
+    decoder resolution order (PIL → stdlib → fake) is observable."""
+    import numpy as np
+
+    from json_schema_ray.functions.media import (
+        ImageDecoder,
+        decode_image_bytes,
+        encode_bmp,
+        synth_bmp_payload,
+    )
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(13, 10, 3), dtype=np.uint8)
+    w, h, c, rgb = decode_image_bytes(encode_bmp(px))
+    assert (w, h, c) == (10, 13, 3)
+    assert (rgb == px).all()  # exact round-trip incl. row padding + BGR flip
+
+    ppm = b"P6\n# comment\n10 13\n255\n" + px.tobytes()
+    w2, h2, c2, rgb2 = decode_image_bytes(ppm)
+    assert (rgb2 == px).all()
+
+    import pyarrow as pa
+
+    dec = ImageDecoder(feature_dim=64)
+    batch = pa.table(
+        {
+            "media_ref": ["a", "b", "c"],
+            "payload": pa.array(
+                [encode_bmp(px), synth_bmp_payload("b"), b"\x89PNG not supported"],
+                type=pa.binary(),
+            ),
+        }
+    )
+    out = dec(batch)
+    assert out["decode_path"].to_pylist() == ["stdlib", "stdlib", "fake"]
+    assert out["width"].to_pylist()[0] == 10
+    # feature of a real decode is the mean-pool grid, deterministic
+    f = np.array(out["feature"].to_pylist()[0])
+    assert f.shape == (64,) and 0.0 <= f.min() and f.max() <= 1.0
+
+    # strict mode: undecodable payload raises instead of faking
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ImageDecoder(strict=True)(
+            pa.table({"media_ref": ["x"], "payload": pa.array([b"nope"], type=pa.binary())})
+        )
+
+    # PIL hook: force-inject a stub PIL and confirm it is preferred
+    import sys
+    import types
+
+    class _FakeImg:
+        width, height = 4, 4
+
+        def convert(self, mode):
+            return np.zeros((4, 4, 3), dtype=np.uint8)
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(open=lambda buf: _FakeImg())
+    sys.modules["PIL"] = fake_pil
+    try:
+        dec2 = ImageDecoder(feature_dim=8)
+        out2 = dec2(pa.table({"media_ref": ["p"], "payload": pa.array([b"anything"], type=pa.binary())}))
+        assert out2["decode_path"].to_pylist() == ["pil"]
+    finally:
+        del sys.modules["PIL"]
