@@ -445,6 +445,13 @@ def q_embedding_near_dup(sf_dir: str) -> pa.Table:
     return embedding_near_dup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9)
 
 
+def q_winnow_near_dup(sf_dir: str) -> pa.Table:
+    """Rolling-hash (winnowing) fingerprint near-dup candidates."""
+    from json_schema_ray.functions.dedup import winnow_candidates
+
+    return winnow_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def q_langid(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count
 
@@ -587,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
+        "winnow_near_dup": q_winnow_near_dup,
         "langid": q_langid,
         "quality": q_quality,
         "ivf_ann": q_ivf_ann,

@@ -3,6 +3,7 @@
 - exact (content-fingerprint hash-partition + per-group first)
 - MinHash + LSH near-dup (shingle → minhash sig → band → bucket groupby)
 - SimHash near-dup (bitwise sig → band buckets → hamming verify)
+- winnowing near-dup (rolling-hash k-grams, window minima — SIGMOD'03)
 - n-gram Jaccard verification of candidate pairs
 - embedding-cosine near-dup (random-hyperplane LSH buckets → verify)
 
@@ -351,6 +352,75 @@ def simhash_candidates(
         .to_pandas()  # verified pairs: small by construction
     )
     return pa.Table.from_pandas(_dedup_pairs(pairs, ["hamming"]), preserve_index=False)
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def winnow_candidates(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    window: int = 24,
+    min_shared: int = 4,
+    max_bucket_size: int = 2000,
+) -> pa.Table:
+    """Near-dup candidates via winnowing fingerprints (rolling-hash
+    k-grams, window minima — functions/text.add_winnow_fingerprints):
+    documents sharing ≥ ``min_shared`` selected fingerprints.
+
+    Same distributed shape as the other LSH families: explode
+    (id, fingerprint) rows → count prefilter → per-fingerprint buckets →
+    pair counting over the (small) candidate set.  Output:
+    (id_a, id_b, n_shared)."""
+    from .text import add_winnow_fingerprints
+
+    def explode(batch: pa.Table) -> pa.Table:
+        t = add_winnow_fingerprints(batch, text_col, k=k, window=window)
+        lst = t["winnow"]
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        n_per = np.asarray(pc.list_value_length(lst))
+        ids = t[id_col].to_pandas().to_numpy()
+        vals = np.asarray(lst.flatten()).view(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, n_per)),
+                "bucket_key": pa.array(vals),
+            }
+        )
+
+    banded = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    empty = pa.table(
+        {"id_a": pa.array([], type=pa.string()), "id_b": pa.array([], type=pa.string()),
+         "n_shared": pa.array([], type=pa.int64())}
+    )
+    collide = _colliding_rows(banded)
+    if collide is None:
+        return empty
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[id_col]))[:max_bucket_size]
+        if len(ids) <= 1:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
+        return pd.DataFrame({"id_a": list(a), "id_b": list(b)})
+
+    pairs = (
+        collide.groupby("bucket_key")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()  # one row per (pair, shared print): candidate-sized
+    )
+    if not len(pairs):
+        return empty
+    counted = (
+        pairs.groupby(["id_a", "id_b"]).size().reset_index(name="n_shared")
+    )
+    counted = counted[counted["n_shared"] >= min_shared].reset_index(drop=True)
+    counted["n_shared"] = counted["n_shared"].astype(np.int64)
+    if not len(counted):
+        return empty
+    return pa.Table.from_pandas(counted, preserve_index=False)
 
 
 # --------------------------------------------------------- ngram jaccard

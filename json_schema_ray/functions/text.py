@@ -96,6 +96,77 @@ class LangId:
         return out.append_column("lang_conf", pa.array(conf, type=pa.float64()))
 
 
+def add_winnow_fingerprints(
+    batch: pa.Table, text_col: str = "text", k: int = 5, window: int = 8
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): rolling k-gram hashes over the
+    normalized character stream, minimum per sliding window, deduplicated
+    → ``winnow: list<uint64>`` per document.  Guarantees any shared
+    substring of length ≥ window+k-1 yields a shared fingerprint.
+
+    Fully vectorized: one polynomial rolling hash over the CONCATENATED
+    byte buffer of the whole batch (k multiply-adds), grams crossing
+    document boundaries masked out via the string offsets, sliding-window
+    min via ``sliding_window_view``, per-doc dedup via one lexsort.
+    """
+    t = pc.utf8_lower(batch[text_col]).fill_null("")
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    arr = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
+    large = pa.types.is_large_string(arr.type)
+    otype = np.int64 if large else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=otype)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    buf = np.frombuffer(bufs[2], dtype=np.uint8)
+    lo, hi = int(offs[0]), int(offs[-1])
+    data = buf[lo:hi].astype(np.uint64)
+    offs = offs - lo
+    n_docs = len(arr)
+    N = len(data)
+
+    empty = pa.LargeListArray.from_arrays(
+        pa.array(np.zeros(n_docs + 1, dtype=np.int64)), pa.array([], type=pa.uint64())
+    )
+    if N < k:
+        return batch.append_column("winnow", empty)
+
+    B = np.uint64(1099511628211)
+    H = np.zeros(N - k + 1, dtype=np.uint64)
+    for j in range(k):
+        H = H * B + data[j : N - k + 1 + j]
+    # gram at position p belongs to doc d iff [p, p+k) ⊆ [offs[d], offs[d+1])
+    doc_of = np.searchsorted(offs, np.arange(N - k + 1), side="right") - 1
+    in_doc = np.arange(N - k + 1) + k <= offs[doc_of + 1]
+
+    w = window
+    if len(H) < w:
+        # no window of size w fits in any doc of this batch — same rule as
+        # below (window fully inside one doc), so results stay identical
+        # regardless of how docs are batched together
+        return batch.append_column("winnow", empty)
+    sw = np.lib.stride_tricks.sliding_window_view(H, w)
+    win_min = sw.min(axis=1)
+    # a window is valid iff all its grams are valid and in one doc
+    win_doc = doc_of[: len(win_min)]
+    win_ok = (doc_of[w - 1 :] == win_doc) & in_doc[: len(win_min)] & in_doc[w - 1 :]
+    d = win_doc[win_ok]
+    v = win_min[win_ok]
+    if len(d) == 0:
+        return batch.append_column("winnow", empty)
+    order = np.lexsort((v, d))
+    d, v = d[order], v[order]
+    keep = np.ones(len(d), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+    d, v = d[keep], v[keep]
+    counts = np.bincount(d, minlength=n_docs)
+    list_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=list_offs[1:])
+    col = pa.LargeListArray.from_arrays(
+        pa.array(list_offs), pa.array(v, type=pa.uint64())
+    )
+    return batch.append_column("winnow", col)
+
+
 def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic 64-bit content fingerprint of the normalized text
     (lowercased, whitespace-collapsed) — the exact-dedup key.  Uses

@@ -341,3 +341,37 @@ def test_media_stdlib_codecs_roundtrip():
         assert out2["decode_path"].to_pylist() == ["pil"]
     finally:
         del sys.modules["PIL"]
+
+
+def test_winnow_fingerprints_and_candidates(ray_session):
+    """Winnowing (SIGMOD'03): batch-layout-independent fingerprints,
+    guaranteed overlap for long shared substrings, distributed candidates."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_ray.functions.dedup import winnow_candidates
+    from json_schema_ray.functions.text import add_winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    near = base.replace("lazy", "hazy")
+    other = "completely different content with nothing in common whatsoever here now"
+    texts = [base, base, near, other, ""]
+    t = pa.table({"doc_id": [f"d{i}" for i in range(len(texts))], "text": texts})
+
+    fp = add_winnow_fingerprints(t, k=5, window=8)
+    prints = [set(x) for x in fp["winnow"].to_pylist()]
+    assert prints[0] == prints[1]  # identical docs → identical sets
+    assert len(prints[0] & prints[2]) >= 3  # near-dup shares long substrings
+    assert not (prints[0] & prints[3])  # unrelated docs share nothing
+    assert prints[4] == set()  # empty text
+
+    # batch-layout independence: one-row batches give the same sets
+    for i, row in enumerate(texts):
+        solo = add_winnow_fingerprints(pa.table({"doc_id": ["x"], "text": [row]}), k=5, window=8)
+        assert set(solo["winnow"].to_pylist()[0]) == prints[i], i
+
+    pairs = winnow_candidates(rd.from_arrow(t), k=5, window=8, min_shared=3).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert ("d0", "d1") in got and ("d0", "d2") in got and ("d1", "d2") in got
+    assert not any("d3" in p for pair in got for p in pair)
