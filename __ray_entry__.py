@@ -397,6 +397,66 @@ def q_asof_prior_click(sf_dir: str) -> pa.Table:
     )
 
 
+def q_topk_orders(sf_dir: str) -> pa.Table:
+    """Distributed sort + limit: Ray Data's sort operator (range-partition
+    shuffle) truncated to the global top 10 by price."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(out["o_orderkey"].to_numpy(dtype=np.int64)),
+            "o_totalprice": pa.array(out["o_totalprice"].to_numpy(dtype=np.float64)),
+        }
+    )
+
+
+def q_orders_by_nation(sf_dir: str) -> pa.Table:
+    """Broadcast-join + aggregate: the customer→nation mapping is small,
+    so it ships once via ray.put and each batch joins map-side with a
+    vectorized searchsorted lookup — no shuffle of the big side; the
+    per-batch partial aggregate collapses to ≤25 rows before the tiny
+    final groupby."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust["c_custkey"].to_numpy()
+    order = np.argsort(ck)
+    lookup_ref = ray.put((ck[order], cust["c_nationkey"].to_numpy()[order]))
+
+    class MapJoin:
+        def __init__(self, ref):
+            self.keys, self.nations = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ock = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, ock)
+            nk = self.nations[idx]  # orders FK always resolves in TPC-H
+            price = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            t = pa.table({"nationkey": pa.array(nk.astype(np.int64)), "price": pa.array(price)})
+            g = pa.TableGroupBy(t, "nationkey").aggregate([("price", "sum"), ([], "count_all")])
+            return g.rename_columns(["nationkey", "sum_price", "n_orders"])
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(MapJoin, fn_constructor_kwargs={"ref": lookup_ref},
+                     batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("nationkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("sum_price", alias_name="sum_price"))
+        .to_pandas()
+    )
+    out["sum_price"] = out["sum_price"].round(2)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return pa.Table.from_pandas(out[["nationkey", "n_orders", "sum_price"]], preserve_index=False)
+
+
 def q_session_windows(sf_dir: str) -> pa.Table:
     """Gap-based sessionization (30-min inactivity gap) per user —
     groupby(key).map_groups over ts-sorted groups (streaming-shaped
@@ -440,9 +500,45 @@ def q_simhash_near_dup(sf_dir: str) -> pa.Table:
 
 
 def q_embedding_near_dup(sf_dir: str) -> pa.Table:
+    """The testdata embeddings are random (max pairwise cosine ≈ 0.51 at
+    sf0.01), so genuine near-dups don't exist; plant perturbed copies of
+    the first 5 vectors (deterministic seed, ids offset by 10M) so the
+    pipeline's output is nonzero and checkable: each planted copy must
+    pair with its source at cosine ≥ threshold."""
+    import ray.data as rd
+
     from json_schema_ray.functions.dedup import embedding_near_dup
 
-    return embedding_near_dup(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.9)
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    base = np.asarray(emb["embedding"].to_pylist()[:5], dtype=np.float64)
+    rng = np.random.RandomState(0)
+    planted = base + rng.normal(scale=0.01, size=base.shape)
+    dim = base.shape[1]
+    plant_tbl = pa.table(
+        {
+            "vec_id": pa.array(np.asarray(emb["vec_id"].to_pylist()[:5]) + 10_000_000, type=pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(planted.reshape(-1), type=pa.float64()), dim
+            ),
+        }
+    )
+
+    def _fix(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.cast(b["vec_id"], pa.int64()),
+                "embedding": pc.cast(
+                    b["embedding"], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(_fix, batch_format="pyarrow")
+        .union(rd.from_arrow(plant_tbl).map_batches(_fix, batch_format="pyarrow"))
+    )
+    return embedding_near_dup(ds, threshold=0.9)
 
 
 def q_winnow_near_dup(sf_dir: str) -> pa.Table:
@@ -589,6 +685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_events": q_window_events,
         "asof_prior_click": q_asof_prior_click,
         "session_windows": q_session_windows,
+        "topk_orders": q_topk_orders,
+        "orders_by_nation": q_orders_by_nation,
         # rows-only checks (non-SQL-expressible / approximate)
         "hll_cardinality": q_hll_cardinality,
         "minhash_near_dup": q_minhash_near_dup,
@@ -691,6 +789,16 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS brk
               FROM events)
             SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions FROM d GROUP BY user_id
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "orders_by_nation": """
+            SELECT c.c_nationkey AS nationkey, count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS sum_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 2),
