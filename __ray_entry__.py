@@ -702,6 +702,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _langid_oracle_sql() -> str:
+    """SQL mirror of functions/text.LangId: per-language marker-word hit
+    counts (RE2 in both engines), argmax with first-wins tie order
+    (en, de, fr, es), 'und' when nothing hits."""
+    from json_schema_ray.functions.text import LANG_MARKERS
+
+    cols = {
+        lang: "len(regexp_extract_all(text, '(?i)\\b(?:" + "|".join(words) + ")\\b'))"
+        for lang, words in LANG_MARKERS.items()
+    }
+    hits = ", ".join(f"{expr} AS {lang}" for lang, expr in cols.items())
+    langs = list(LANG_MARKERS)  # (en, de, fr, es) — np.argmax tie order
+    zero = " AND ".join(f"{la} = 0" for la in langs)
+    case = f"CASE WHEN {zero} THEN 'und' "
+    for i, la in enumerate(langs[:-1]):
+        rest = langs[i + 1 :]
+        cond = " AND ".join(f"{la} >= {o}" for o in rest)
+        case += f"WHEN {cond} THEN '{la}' "
+    case += f"ELSE '{langs[-1]}' END"
+    return f"""
+        WITH h AS (SELECT {hits} FROM documents)
+        SELECT {case} AS lang_pred, count(*) AS n FROM h GROUP BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ets = ", ".join(f"'{e}'" for e in EVENT_TYPES)
     return {
@@ -789,6 +814,24 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS brk
               FROM events)
             SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions FROM d GROUP BY user_id
+        """,
+        "langid": _langid_oracle_sql(),
+        "quality": """
+            WITH q AS (
+              SELECT source,
+                     length(text)::DOUBLE AS n_chars,
+                     greatest(len(regexp_extract_all(text, '\\S+'))::DOUBLE, 1.0) AS tok,
+                     len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE AS n_punct
+              FROM documents
+            ), s AS (
+              SELECT source,
+                     0.4 * least(n_chars / 500.0, 1.0)
+                     + 0.3 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5.0, 1.0))
+                     + 0.3 * exp(-0.5 * pow((greatest(n_chars - (tok - 1.0), 0.0) / tok - 5.0) / 3.0, 2)) AS score
+              FROM q
+            )
+            SELECT source, round(avg(score), 6) AS avg_quality, count(*) AS n
+            FROM s GROUP BY source
         """,
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders
