@@ -397,6 +397,31 @@ def q_asof_prior_click(sf_dir: str) -> pa.Table:
     )
 
 
+def q_table_report(sf_dir: str) -> pa.Table:
+    """Generic-table validation surface (stages/constraint.validate_table):
+    mixed vector + dynamic-json constraints over events, per-constraint
+    exact counts (violation rows checked separately by the row-id test
+    suite)."""
+    from json_schema_ray.stages.constraint import validate_table
+
+    spec = {
+        "event_type": {"enum": list(EVENT_TYPES)},
+        "value": {"type": "number", "minimum": 0, "exclusiveMaximum": 1000},
+        "props": {
+            "type": "object",
+            "required": ["k"],
+            "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 49}},
+        },
+    }
+    counts, _ = validate_table(
+        _read(sf_dir, "events", ["event_id", "event_type", "value", "props"]),
+        spec,
+        id_col="event_id",
+        json_columns={"props"},
+    )
+    return counts
+
+
 def q_topk_orders(sf_dir: str) -> pa.Table:
     """Distributed sort + limit: Ray Data's sort operator (range-partition
     shuffle) truncated to the global top 10 by price."""
@@ -687,6 +712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": q_session_windows,
         "topk_orders": q_topk_orders,
         "orders_by_nation": q_orders_by_nation,
+        "table_report": q_table_report,
         # rows-only checks (non-SQL-expressible / approximate)
         "hll_cardinality": q_hll_cardinality,
         "minhash_near_dup": q_minhash_near_dup,
@@ -816,6 +842,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions FROM d GROUP BY user_id
         """,
         "langid": _langid_oracle_sql(),
+        "table_report": f"""
+            SELECT 'event_type/schema' AS constraint_id, count(*) AS n_rows,
+                   count(*) FILTER (WHERE event_type IS NULL OR event_type NOT IN ({ets})) AS n_bad
+            FROM events
+            UNION ALL
+            SELECT 'value/schema', count(*),
+                   count(*) FILTER (WHERE value IS NULL OR NOT (value >= 0 AND value < 1000))
+            FROM events
+            UNION ALL
+            SELECT 'props/schema', count(*),
+                   count(*) FILTER (WHERE props IS NULL
+                                    OR TRY_CAST(json_extract(props, '$.k') AS INTEGER) IS NULL
+                                    OR TRY_CAST(json_extract(props, '$.k') AS INTEGER) NOT BETWEEN 0 AND 49)
+            FROM events
+        """,
         "quality": """
             WITH q AS (
               SELECT source,

@@ -137,3 +137,129 @@ def check_dataset(
         .groupby("constraint_id")
         .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("n_bad", alias_name="n_bad"))
     )
+
+
+def _to_string_col(arr: pa.Array) -> pa.Array:
+    """Render values as strings for the ``actual`` column; nested types
+    (no Arrow cast to string) render as compact JSON.  Only ever runs on
+    the capped violation subset."""
+    import pyarrow.compute as pc_
+
+    try:
+        return pc_.cast(arr, pa.string())
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return pa.array(
+            [None if v is None else json.dumps(v, default=str) for v in arr.to_pylist()],
+            type=pa.string(),
+        )
+
+
+VIOLATION_SCHEMA = pa.schema(
+    [
+        ("row_id", pa.string()),  # id_col value, else "<batch-uuid>:<ordinal>"
+        ("constraint_id", pa.string()),
+        ("error_type", pa.string()),
+        ("expected", pa.string()),
+        ("actual", pa.string()),
+    ]
+)
+
+
+def validate_table(
+    ds,
+    spec: dict[str, Any],
+    id_col: str | None = None,
+    json_columns: set[str] | None = None,
+    formats_assert: bool = True,
+    dialect: str = "2020-12",
+    violation_cap: int | None = 10_000,
+):
+    """Full generic-table validation (the reference's validate-any-instance
+    surface over a Dataset): per-constraint counts PLUS row-level
+    violation rows carrying (row_id, constraint_id, error_type, expected,
+    actual) — the SURVEY §1.2 contract for arbitrary tables, not just the
+    interleaved flagship.
+
+    Returns ``(counts: Dataset, violations: Dataset)``.  Violations are
+    capped per (constraint × batch) like the flagship; counts stay exact.
+    ``expected`` is the compact JSON of the violated column schema;
+    ``error_type`` is SCHEMA at this granularity (the dynamic path's
+    per-keyword taxonomy is available via ``CompiledSchema.violations``
+    on the failing values when callers need it).
+    """
+    import pyarrow.compute as pc_
+
+    schema = ds.schema()
+    arrow_schema = pa.schema([(n, t) for n, t in zip(schema.names, schema.types)])
+    plan = TableConstraintPlan(spec, arrow_schema, json_columns, formats_assert, dialect)
+    expected_json = {
+        f"{col}/schema": json.dumps(spec[col], sort_keys=True)[:200] for col in spec
+    }
+
+    def split(batch: pa.Table) -> pa.Table:
+        masks = plan.masks(batch)
+        counts = pa.table(
+            {
+                "record_type": pa.array(["count"] * len(masks)),
+                "constraint_id": pa.array(list(masks)),
+                "n_rows": pa.array([len(batch)] * len(masks), type=pa.int64()),
+                "n_bad": pa.array([int((~m).sum()) for m in masks.values()], type=pa.int64()),
+                "row_id": pa.array([None] * len(masks), type=pa.string()),
+                "error_type": pa.array([None] * len(masks), type=pa.string()),
+                "expected": pa.array([None] * len(masks), type=pa.string()),
+                "actual": pa.array([None] * len(masks), type=pa.string()),
+            }
+        )
+        chunks = [counts]
+        if id_col is not None:
+            rid = pc_.cast(batch[id_col], pa.string())
+        else:
+            import uuid as _uuid
+
+            tag = _uuid.uuid4().hex[:8]
+            rid = pa.array([f"{tag}:{i}" for i in range(len(batch))])
+        for (cid, col, _, _), mask in zip(plan.kernels, masks.values()):
+            bad = np.where(~mask)[0]
+            if not len(bad):
+                continue
+            capped = bad[:violation_cap] if violation_cap else bad
+            take = pa.array(capped)
+            k = len(capped)
+            chunks.append(
+                pa.table(
+                    {
+                        "record_type": pa.array(["violation"] * k),
+                        "constraint_id": pa.array([cid] * k),
+                        "n_rows": pa.array(np.zeros(k, dtype=np.int64)),
+                        "n_bad": pa.array(np.zeros(k, dtype=np.int64)),
+                        "row_id": rid.take(take) if not isinstance(rid, pa.ChunkedArray) else rid.combine_chunks().take(take),
+                        "error_type": pa.array(["SCHEMA"] * k),
+                        "expected": pa.array([expected_json[cid]] * k),
+                        "actual": _to_string_col(
+                            (batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray) else batch[col]).take(take)
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(chunks)
+
+    from ray.data.aggregate import Sum
+
+    res = ds.map_batches(split, batch_format="pyarrow").materialize()
+    counts = (
+        res.map_batches(
+            lambda b: b.filter(pc_.equal(b["record_type"], "count")).select(
+                ["constraint_id", "n_rows", "n_bad"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("constraint_id")
+        .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("n_bad", alias_name="n_bad"))
+    )
+    violations = res.map_batches(
+        lambda b: b.filter(pc_.equal(b["record_type"], "violation")).select(
+            ["row_id", "constraint_id", "error_type", "expected", "actual"]
+        ),
+        batch_format="pyarrow",
+    )
+    return counts, violations

@@ -69,3 +69,43 @@ def test_check_dataset(ray_session, sf_dir):
     assert out.loc["event_type/schema", "n_bad"] == exp_enum
     assert out.loc["props/schema", "n_bad"] == exp_props
     assert out.loc["value/schema", "n_bad"] == 0
+
+
+def test_validate_table_rows_and_counts(ray_session):
+    """Generic-table surface: per-constraint counts + row-level violation
+    rows with (row_id, expected, actual), vector and dynamic-json paths."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_ray.stages.constraint import validate_table
+
+    t = pa.table(
+        {
+            "id": ["r1", "r2", "r3", "r4"],
+            "x": pa.array([1, -2, 3, None], type=pa.int64()),
+            "props": ['{"k": 5}', '{"k": 99}', "not json", None],
+        }
+    )
+    counts, viol = validate_table(
+        rd.from_arrow(t),
+        {"x": {"type": "integer", "minimum": 0},
+         "props": {"type": "object", "required": ["k"],
+                   "properties": {"k": {"maximum": 49}}}},
+        id_col="id",
+        json_columns={"props"},
+    )
+    c = counts.to_pandas().set_index("constraint_id")
+    assert int(c.loc["x/schema", "n_bad"]) == 2      # -2 and null
+    assert int(c.loc["props/schema", "n_bad"]) == 3  # 99, not json, null
+    assert (c["n_rows"] == 4).all()
+
+    v = viol.to_pandas()
+    got = sorted(zip(v["constraint_id"], v["row_id"]))
+    assert got == [
+        ("props/schema", "r2"), ("props/schema", "r3"), ("props/schema", "r4"),
+        ("x/schema", "r2"), ("x/schema", "r4"),
+    ]
+    row = v[(v.constraint_id == "x/schema") & (v.row_id == "r2")].iloc[0]
+    assert row["actual"] == "-2" and "minimum" in row["expected"]
+    assert row["error_type"] == "SCHEMA"
