@@ -1,0 +1,129 @@
+"""Property-based vector↔dynamic parity: hypothesis generates random
+scalar schemas + random typed columns; the vectorized Arrow kernel and
+the dynamic evaluator must agree on every row.  This is the fuzzing
+layer on top of the fixed conformance corpus (the reference has no
+property-based tests at all — SURVEY.md §5 item 4)."""
+
+from __future__ import annotations
+
+import json
+from fractions import Fraction
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from json_schema_ray.kernels.dynamic import DynamicCompiler
+from json_schema_ray.kernels.vector import UnsupportedVector, compile_vector
+
+# bounded numeric pool keeps Fraction math fast and avoids float-overflow
+NUMS = st.one_of(
+    st.integers(min_value=-50, max_value=50),
+    st.sampled_from([0.5, 1.5, -2.5, 0.1, 10.0, -0.0, 2.0]),
+)
+STRINGS = st.sampled_from(["", "a", "ab", "abc", "xyz", "a b", "Z", "𝄞", "日本"])
+
+
+def num_schema() -> st.SearchStrategy:
+    return st.fixed_dictionaries(
+        {},
+        optional={
+            "type": st.sampled_from(["number", "integer", ["integer", "null"]]),
+            "minimum": NUMS,
+            "maximum": NUMS,
+            "exclusiveMinimum": NUMS,
+            "exclusiveMaximum": NUMS,
+            "multipleOf": st.sampled_from([1, 2, 0.5, 3, 0.1]),
+            "enum": st.lists(NUMS, min_size=1, max_size=4),
+            "const": NUMS,
+        },
+    )
+
+
+def str_schema() -> st.SearchStrategy:
+    return st.fixed_dictionaries(
+        {},
+        optional={
+            "type": st.just("string"),
+            "minLength": st.integers(min_value=0, max_value=4),
+            "maxLength": st.integers(min_value=0, max_value=4),
+            "pattern": st.sampled_from(["^a", "b$", "a.c", "[xyz]", "^$"]),
+            "enum": st.lists(STRINGS, min_size=1, max_size=3),
+            "const": STRINGS,
+        },
+    )
+
+
+def combod(base: st.SearchStrategy) -> st.SearchStrategy:
+    """Wrap a base schema in combinators sometimes."""
+    return st.one_of(
+        base,
+        st.builds(lambda a, b: {"allOf": [a, b]}, base, base),
+        st.builds(lambda a, b: {"anyOf": [a, b]}, base, base),
+        st.builds(lambda a, b: {"oneOf": [a, b]}, base, base),
+        st.builds(lambda a: {"not": a}, base),
+        st.builds(lambda c, t, e: {"if": c, "then": t, "else": e}, base, base, base),
+    )
+
+
+def _assert_parity(schema, arr: pa.Array, values: list) -> None:
+    try:
+        kern = compile_vector(schema, arr.type)
+    except UnsupportedVector:
+        return  # declared fallback — the auto path would use dynamic
+    got = kern(arr)
+    # exact-number semantics: feed the dynamic path the SAME literal the
+    # column holds (decimal Fraction of its repr)
+    cs = DynamicCompiler(dialect="2020-12").compile(schema)
+    for i, v in enumerate(values):
+        if v is None:
+            want = cs.is_valid(None)
+        elif isinstance(v, float):
+            want = cs.is_valid(json.loads(repr(v), parse_float=Fraction))
+        else:
+            want = cs.is_valid(v)
+        assert bool(got[i]) == want, (schema, v, bool(got[i]), want)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    schema=combod(num_schema()),
+    values=st.lists(st.one_of(NUMS, st.none()), min_size=1, max_size=8),
+    as_float=st.booleans(),
+)
+def test_numeric_parity(schema, values, as_float):
+    typ = pa.float64() if as_float else pa.int64()
+    if not as_float and any(isinstance(v, float) for v in values):
+        values = [int(v) if isinstance(v, float) else v for v in values]
+    arr = pa.array(values, type=typ)
+    vals = arr.to_pylist()  # post-cast ground truth values
+    _assert_parity(schema, arr, vals)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    schema=combod(str_schema()),
+    values=st.lists(st.one_of(STRINGS, st.none()), min_size=1, max_size=8),
+)
+def test_string_parity(schema, values):
+    arr = pa.array(values, type=pa.string())
+    _assert_parity(schema, arr, values)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    item=num_schema(),
+    lens=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=5),
+    lo=st.integers(min_value=0, max_value=3),
+    hi=st.integers(min_value=0, max_value=5),
+    data=st.data(),
+)
+def test_list_parity(item, lens, lo, hi, data):
+    schema = {"items": item, "minItems": lo, "maxItems": max(lo, hi), "uniqueItems": True}
+    rows = [
+        data.draw(st.lists(st.integers(min_value=-9, max_value=9), min_size=n, max_size=n))
+        for n in lens
+    ]
+    arr = pa.array(rows, type=pa.list_(pa.int64()))
+    _assert_parity(schema, arr, rows)

@@ -44,3 +44,26 @@ def test_exact_distinct_count(ray_session):
 
     df = pd.DataFrame({"x": [1, 2, 2, 3, 3, 3, None]})
     assert exact_distinct_count(rd.from_pandas(df), "x") == 4  # null counts as a value
+
+
+def test_mapreduce_uniqueness_hot_key_skew(ray_session):
+    """Skew: one key occupies 50% of all rows across many blocks — the
+    per-block value_counts combiner must collapse it to <= one row per
+    block before the exchange, and counts stay exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_ray.stages.shuffle import exact_distinct_count, find_duplicate_keys
+
+    n = 20_000
+    keys = np.array([f"k{i:05d}" for i in range(n)], dtype=object)
+    keys[: n // 2] = "HOT"
+    rng = np.random.RandomState(0)
+    rng.shuffle(keys)
+    ds = rd.from_arrow(pa.table({"doc_id": keys})).repartition(16)
+
+    dup = find_duplicate_keys(ds, "doc_id").to_pandas().set_index("doc_id")
+    assert int(dup.loc["HOT", "total_cnt"]) == n // 2
+    assert len(dup) == 1  # every other key unique
+    assert exact_distinct_count(ds, "doc_id") == n // 2 + 1
