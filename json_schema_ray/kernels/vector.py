@@ -676,8 +676,10 @@ def _scalar_fits(v, dtype: pa.DataType) -> bool:
         if isinstance(v, bool) or pa.types.is_boolean(dtype):
             return False
     try:
-        pa.scalar(v, type=dtype)
-        return True
+        # round-trip guard: pa.scalar silently TRUNCATES (0.5 → int 0), so a
+        # value only "fits" if the stored scalar equals the original —
+        # otherwise enum/const would match values they must not
+        return pa.scalar(v, type=dtype).as_py() == v
     except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
         return False
 
