@@ -118,18 +118,14 @@ def is_hostname(s: str) -> bool:
 
 
 def is_idn_hostname(s: str) -> bool:
-    """IDNA hostname: non-ASCII labels are punycode-encoded and checked as
-    LDH labels.  (The reference ships full IDNA2008 Unicode tables,
-    ``js/common/unicode/*``; this engine applies the stdlib IDNA codec —
-    a documented approximation, same spirit as the reference's documented
-    regex-dialect deviation.)"""
-    if not s:
-        return False
-    try:
-        enc = s.encode("idna").decode("ascii")
-    except (UnicodeError, UnicodeDecodeError):
-        return False
-    return is_hostname(enc)
+    """IDNA2008 hostname: RFC 5892 derived properties (evaluated against
+    unicodedata — the same UCD the reference's precompiled tables encode,
+    ``js/common/unicode/*``), RFC 5891 label rules, CONTEXTJ/CONTEXTO,
+    and the RFC 5893 Bidi rule.  Remaining approximations are documented
+    in ``kernels/idna2008.py`` (ZWNJ joining-type branch, DI ranges)."""
+    from .idna2008 import is_idna2008_hostname
+
+    return is_idna2008_hostname(s)
 
 
 # ---------------------------------------------------------------- email
