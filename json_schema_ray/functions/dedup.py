@@ -75,38 +75,60 @@ def _dedup_pairs(df: pd.DataFrame, extra: list[str]) -> pd.DataFrame:
 # ------------------------------------------------------------- exact dedup
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
-    """Keep one row per distinct normalized text (hash-partitioned
-    groupby on the 64-bit fingerprint, first row per group wins).
-    Returns the deduplicated Dataset."""
-    with_fp = ds.map_batches(lambda b: add_fingerprint(b, text_col), batch_format="pyarrow")
+def _with_fp_bucket(ds, text_col: str, n_buckets: int, columns=None):
+    def add(b: pa.Table) -> pa.Table:
+        t = add_fingerprint(b, text_col)
+        if columns:
+            t = t.select(columns + ["fingerprint"])
+        bk = (t["fingerprint"].to_numpy(zero_copy_only=False) % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("bucket", pa.array(bk))
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1)
-
-    return with_fp.groupby("fingerprint").map_groups(first, batch_format="pandas")
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
-def exact_dup_groups(ds, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
-    """Groups of ids sharing identical normalized text → (fingerprint,
-    n_dups, ids)."""
-    with_fp = ds.map_batches(
-        lambda b: add_fingerprint(b, text_col).select([id_col, "fingerprint"]),
-        batch_format="pyarrow",
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", n_buckets: int = 64):
+    """Keep one row per distinct normalized text (first id wins).
+    Hash-partitioned on a SMALL int bucket, not the raw fingerprint —
+    per-fingerprint ``map_groups`` would spin up one pandas group per
+    distinct document (millions at scale); per-bucket groups keep the
+    inner first-of-fingerprint selection one vectorized sort + shifted
+    compare over the whole bucket.  Returns the deduplicated Dataset."""
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("fingerprint", "ascending"), (id_col, "ascending")])
+        fp = t["fingerprint"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(t), dtype=bool)
+        first[1:] = fp[1:] != fp[:-1]
+        return t.filter(pa.array(first)).drop(["bucket"])
+
+    return (
+        _with_fp_bucket(ds, text_col, n_buckets)
+        .groupby("bucket")
+        .map_groups(keep_first, batch_format="pyarrow")
     )
 
-    def dups(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) <= 1:
-            return g.iloc[0:0].assign(n_dups=np.int64(0)).drop(columns=[id_col]).assign(ids="")
-        return pd.DataFrame(
-            {
-                "fingerprint": [g["fingerprint"].iloc[0]],
-                "n_dups": [np.int64(len(g))],
-                "ids": [",".join(map(str, sorted(g[id_col])))],
-            }
-        )
 
-    return with_fp.groupby("fingerprint").map_groups(dups, batch_format="pandas").to_pandas()
+def exact_dup_groups(
+    ds, text_col: str = "text", id_col: str = "doc_id", n_buckets: int = 64
+) -> pa.Table:
+    """Groups of ids sharing identical normalized text → (fingerprint,
+    n_dups, ids).  Same bucket plan as ``exact_dedup``; the output is
+    ∝ duplicate groups (small)."""
+
+    def dups(g: pa.Table) -> pd.DataFrame:
+        df = g.to_pandas()
+        grp = df.groupby("fingerprint")[id_col].agg(["size", lambda s: ",".join(map(str, sorted(s)))])
+        grp.columns = ["n_dups", "ids"]
+        d = grp[grp["n_dups"] > 1].reset_index()
+        d["n_dups"] = d["n_dups"].astype(np.int64)
+        return d[["fingerprint", "n_dups", "ids"]]
+
+    return (
+        _with_fp_bucket(ds, text_col, n_buckets, columns=[id_col])
+        .groupby("bucket")
+        .map_groups(dups, batch_format="pyarrow")
+        .to_pandas()
+    )
 
 
 # ---------------------------------------------------------------- minhash

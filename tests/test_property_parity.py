@@ -127,3 +127,53 @@ def test_list_parity(item, lens, lo, hi, data):
     ]
     arr = pa.array(rows, type=pa.list_(pa.int64()))
     _assert_parity(schema, arr, rows)
+
+
+def struct_schema() -> st.SearchStrategy:
+    sub = st.one_of(num_schema(), str_schema())
+    return st.fixed_dictionaries(
+        {},
+        optional={
+            "required": st.lists(st.sampled_from(["a", "b", "zz"]), max_size=2, unique=True),
+            "properties": st.dictionaries(
+                st.sampled_from(["a", "b"]), sub, max_size=2
+            ),
+            "additionalProperties": st.one_of(st.booleans(), str_schema()),
+            "minProperties": st.integers(min_value=0, max_value=3),
+            "maxProperties": st.integers(min_value=0, max_value=3),
+            "dependentRequired": st.fixed_dictionaries({"a": st.just(["b"])}),
+        },
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    schema=struct_schema(),
+    rows=st.lists(
+        st.fixed_dictionaries(
+            {},
+            optional={
+                "a": st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),
+                "b": st.one_of(st.none(), STRINGS),
+            },
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_struct_parity(schema, rows):
+    """Struct-column parity: the vector path's presence convention is
+    'field non-null'; feed the dynamic path the equivalent JSON object
+    (None-valued keys dropped)."""
+    dt = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    arr = pa.array(rows, type=dt)
+    try:
+        kern = compile_vector(schema, dt)
+    except UnsupportedVector:
+        return
+    got = kern(arr)
+    cs = DynamicCompiler(dialect="2020-12").compile(schema)
+    for i, row in enumerate(rows):
+        doc = {k: v for k, v in row.items() if v is not None}
+        want = cs.is_valid(doc)
+        assert bool(got[i]) == want, (schema, row, bool(got[i]), want)
