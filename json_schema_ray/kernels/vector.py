@@ -202,6 +202,13 @@ def compile_vector(schema: Any, dtype: pa.DataType, formats_assert: bool = True)
             try:
                 in_type = [_coerce_num(v) for v in vals if _scalar_fits(v, dtype)]
                 allow_null_v = any(v is None for v in vals)
+                # Arrow's is_in hashes bit patterns, so ±0.0 are distinct
+                # there while JSON numerics make them equal — cover both
+                if pa.types.is_floating(dtype) and any(
+                    isinstance(x, (int, float)) and not isinstance(x, bool) and x == 0
+                    for x in in_type
+                ):
+                    in_type = [*in_type, 0.0, -0.0]
                 vset = pa.array(in_type, type=dtype) if in_type else pa.array([], type=dtype)
             except (pa.ArrowInvalid, pa.ArrowTypeError) as e:
                 raise UnsupportedVector(f"enum values don't fit column type: {e}")
