@@ -66,39 +66,46 @@ def _valid_mask(arr: pa.Array) -> Mask:
 
 
 def _list_segments(arr: pa.Array) -> tuple[pa.Array, np.ndarray]:
-    """(flattened child values, offsets) honoring slices; child includes
-    elements of null rows (their segments are empty or ignored)."""
+    """(flattened child values SLICED to this array's rows, offsets
+    REBASED to 0).  Slicing up front matters twice: kernels never redo a
+    parent block's work for each of its slices, and the segment
+    reductions below can assume child index space == offsets space."""
     arr = _combine(arr)
-    if isinstance(arr, pa.LargeListArray):
-        off = arr.offsets.to_numpy(zero_copy_only=False)
-    else:
-        off = arr.offsets.to_numpy(zero_copy_only=False)
-    return arr.values, off
+    off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = off[0]
+    return arr.values.slice(lo, off[-1] - lo), off - lo
 
 
 def _segment_all(child_ok: Mask, offsets: np.ndarray) -> Mask:
-    """AND-reduce child mask per list row; empty segment -> True."""
+    """AND-reduce child mask per list row; empty segment -> True.
+
+    reduceat boundaries must be the starts of NON-empty segments only: a
+    clamped start for an empty trailing row would silently truncate the
+    previous row's segment (round-1 bug, caught by the unevaluatedItems
+    vectorization tests)."""
     n = len(offsets) - 1
+    out = np.ones(n, dtype=bool)
     if len(child_ok) == 0:
-        return np.ones(n, dtype=bool)
+        return out
     starts = offsets[:-1]
     valid = starts < offsets[1:]
-    out = np.ones(n, dtype=bool)
     if valid.any():
-        red = np.logical_and.reduceat(child_ok, np.minimum(starts, len(child_ok) - 1))
-        out[valid] = red[valid]
+        # rows are contiguous (end_i == start_{i+1}), so the non-empty
+        # starts are exact reduceat boundaries; cap the tail at offsets[-1]
+        out[valid] = np.logical_and.reduceat(child_ok[: offsets[-1]], starts[valid])
     return out
 
 
 def _segment_sum(child_vals: Mask, offsets: np.ndarray) -> np.ndarray:
     n = len(offsets) - 1
-    x = child_vals.astype(np.int64)
     out = np.zeros(n, dtype=np.int64)
+    x = child_vals.astype(np.int64)
+    if len(x) == 0:
+        return out
     starts = offsets[:-1]
     valid = starts < offsets[1:]
-    if len(x) and valid.any():
-        red = np.add.reduceat(x, np.minimum(starts, len(x) - 1))
-        out[valid] = red[valid]
+    if valid.any():
+        out[valid] = np.add.reduceat(x[: offsets[-1]], starts[valid])
     return out
 
 
@@ -151,11 +158,20 @@ def compile_vector(schema: Any, dtype: pa.DataType, formats_assert: bool = True)
     jt = _arrow_json_type(dtype)
 
     unsupported = set(schema) & {
-        "$ref", "$dynamicRef", "$recursiveRef", "unevaluatedProperties",
-        "unevaluatedItems", "dependencies", "contentSchema",
+        "$ref", "$dynamicRef", "$recursiveRef", "dependencies", "contentSchema",
     }
     if unsupported:
         raise UnsupportedVector(f"keywords {sorted(unsupported)} need the dynamic path")
+    # unevaluated* consume annotations from in-place applicators at runtime;
+    # on a FIXED Arrow schema they vectorize only when no applicator can
+    # contribute annotations — then the evaluated set is static and they
+    # reduce to complement checks (additionalProperties / tail-items form)
+    _APPLICATORS = {"$ref", "$dynamicRef", "$recursiveRef", "allOf", "anyOf", "oneOf",
+                    "if", "then", "else", "not", "dependentSchemas", "dependencies"}
+    if "unevaluatedProperties" in schema and (set(schema) & _APPLICATORS):
+        raise UnsupportedVector("unevaluatedProperties with in-place applicators needs the dynamic path")
+    if "unevaluatedItems" in schema and (set(schema) & (_APPLICATORS | {"contains"})):
+        raise UnsupportedVector("unevaluatedItems with applicators/contains needs the dynamic path")
 
     # ---- type: resolved at plan time against the Arrow schema ----------
     if "type" in schema:
@@ -331,14 +347,20 @@ def compile_vector(schema: Any, dtype: pa.DataType, formats_assert: bool = True)
             parts.append(k_len)
         item_schema = schema.get("items")
         prefix = schema.get("prefixItems")
+        # statically-resolvable unevaluatedItems (no applicators/contains —
+        # enforced above) covers whatever items/additionalItems left
+        # unevaluated: the tail when positional, everything otherwise
+        unev = schema.get("unevaluatedItems")
         if prefix is None and isinstance(item_schema, list):
             # draft7/2019 positional form: items: [s0, s1, ...] with
             # additionalItems for the tail (js/compilers/v2019/Items2019Compiler.java:33-97)
-            prefix, rest = item_schema, schema.get("additionalItems")
+            prefix, rest = item_schema, schema.get("additionalItems", unev)
         else:
             # 2020-12: prefixItems positional, items for the tail
             # (js/compilers/v2020/PrefixItemsFactory.java:47-80)
-            rest = item_schema
+            rest = item_schema if item_schema is not None else unev
+            if prefix is None and not isinstance(item_schema, (dict, bool)) and isinstance(unev, (dict, bool)):
+                item_schema = unev  # no positional coverage: unevaluated = all
         if prefix is not None:
             pre_kernels = tuple(compile_vector(s, dtype.value_type, formats_assert) for s in prefix)
             rest_kernel = (
@@ -492,7 +514,16 @@ def compile_vector(schema: Any, dtype: pa.DataType, formats_assert: bool = True)
                 return ok | ~_valid_mask(a)
 
             parts.append(k_props)
-        if "additionalProperties" in schema:
+        # unevaluatedProperties without in-place applicators (enforced
+        # above) reduces to the additionalProperties complement; when
+        # additionalProperties is also present it evaluates everything it
+        # applies to, making unevaluatedProperties vacuous
+        ap_key = (
+            "additionalProperties"
+            if "additionalProperties" in schema
+            else ("unevaluatedProperties" if "unevaluatedProperties" in schema else None)
+        )
+        if ap_key is not None:
             import re as _re
 
             matched = set(schema.get("properties", {}))
@@ -500,7 +531,7 @@ def compile_vector(schema: Any, dtype: pa.DataType, formats_assert: bool = True)
                 rx = _re.compile(pat)
                 matched |= {n for n in names if rx.search(n)}
             extra = [n for n in names if n not in matched]
-            ap = schema["additionalProperties"]
+            ap = schema[ap_key]
             if ap is False:
 
                 def k_ap_false(arr, _extra=tuple(extra)):

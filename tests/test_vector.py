@@ -247,3 +247,69 @@ def test_positional_items_vectorized():
                 continue  # vector: null row passes (keyword doesn't apply)
             want = cs.apply(_json.dumps(row)).ok
             assert got[i] == want, (sch, row, got[i], want)
+
+
+def test_unevaluated_static_vectorized():
+    """unevaluated* vectorize when no in-place applicator can contribute
+    annotations (static evaluated set); applicator presence falls back."""
+    import json as _json
+
+    # unevaluatedProperties == additionalProperties complement on structs
+    dt = pa.struct([("a", pa.int64()), ("b", pa.string())])
+    arr = pa.array([{"a": 1}, {"a": 1, "b": "x"}, {"b": "x"}], type=dt)
+    k = compile_vector({"properties": {"a": {"type": "integer"}},
+                        "unevaluatedProperties": False}, dt)
+    assert list(k(arr)) == [True, False, False]
+    k2 = compile_vector({"properties": {"a": True},
+                         "unevaluatedProperties": {"maxLength": 0}}, dt)
+    assert list(k2(pa.array([{"a": 1, "b": ""}, {"a": 1, "b": "x"}], type=dt))) == [True, False]
+
+    # unevaluatedItems as the positional tail / full coverage
+    lt = pa.list_(pa.string())
+    rows = [["x"], ["x", "y"], []]
+    arr2 = pa.array(rows, type=lt)
+    k3 = compile_vector({"prefixItems": [{"const": "x"}], "unevaluatedItems": False}, lt)
+    assert list(k3(arr2)) == [True, False, True]
+    k4 = compile_vector({"unevaluatedItems": {"const": "x"}}, lt)
+    assert list(k4(arr2)) == [True, False, True]
+
+    # dynamic parity for the vectorized cases
+    for sch, data_rows in [
+        ({"prefixItems": [{"const": "x"}], "unevaluatedItems": False}, rows),
+        ({"unevaluatedItems": {"const": "x"}}, rows),
+    ]:
+        cs = DynamicCompiler(dialect="2020-12").compile(sch)
+        kk = compile_vector(sch, lt)
+        got = kk(arr2)
+        for i, r in enumerate(data_rows):
+            assert bool(got[i]) == cs.apply(_json.dumps(r)).ok, (sch, r)
+
+    # applicators present → declared fallback
+    with pytest.raises(UnsupportedVector):
+        compile_vector({"allOf": [{}], "unevaluatedProperties": False}, dt)
+    with pytest.raises(UnsupportedVector):
+        compile_vector({"contains": {"const": "x"}, "unevaluatedItems": False}, lt)
+
+
+def test_segment_reduction_trailing_empty_and_slices():
+    """Regression (round-1 latent bug): a trailing/interior EMPTY list row
+    must not truncate its neighbor's segment reduction, and kernels on a
+    SLICED array must evaluate only the slice's own children."""
+    lt = pa.list_(pa.int64())
+    sch = {"items": {"minimum": 5}}
+    k = compile_vector(sch, lt)
+
+    arr = pa.array([[9, 1], []], type=lt)  # bad element then empty row
+    assert list(k(arr)) == [False, True]
+    arr2 = pa.array([[9], [], [1, 9], [], []], type=lt)
+    assert list(k(arr2)) == [True, True, False, True, True]
+
+    # contains counting with empty rows interleaved
+    kc = compile_vector({"contains": {"minimum": 5}, "maxContains": 1}, lt)
+    arr3 = pa.array([[5, 6], [], [5]], type=lt)
+    assert list(kc(arr3)) == [False, False, True]
+
+    # sliced array: only the slice's rows evaluated, offsets rebased
+    big = pa.array([[1], [9, 9], [1], []], type=lt)
+    assert list(k(big.slice(1, 3))) == [True, False, True]
+    assert list(k(big.slice(3, 1))) == [True]
