@@ -111,22 +111,28 @@ def test_string_parity(schema, values):
     _assert_parity(schema, arr, values)
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=80, deadline=None)
 @given(
     item=num_schema(),
-    lens=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=5),
+    prefix=st.one_of(st.none(), st.lists(num_schema(), min_size=1, max_size=2)),
+    lens=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=6),
     lo=st.integers(min_value=0, max_value=3),
     hi=st.integers(min_value=0, max_value=5),
+    slice_off=st.integers(min_value=0, max_value=2),
     data=st.data(),
 )
-def test_list_parity(item, lens, lo, hi, data):
+def test_list_parity(item, prefix, lens, lo, hi, slice_off, data):
     schema = {"items": item, "minItems": lo, "maxItems": max(lo, hi), "uniqueItems": True}
+    if prefix is not None:
+        schema["prefixItems"] = prefix
     rows = [
         data.draw(st.lists(st.integers(min_value=-9, max_value=9), min_size=n, max_size=n))
         for n in lens
     ]
     arr = pa.array(rows, type=pa.list_(pa.int64()))
-    _assert_parity(schema, arr, rows)
+    # exercise the zero-copy slice path too (offsets not starting at 0)
+    k = min(slice_off, len(rows) - 1)
+    _assert_parity(schema, arr.slice(k), rows[k:])
 
 
 def struct_schema() -> st.SearchStrategy:
