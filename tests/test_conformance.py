@@ -41,6 +41,11 @@ def test_conformance_group(group):
         formats_assert=group.get("formats_assert", False),
         content_processing=group.get("content", "default"),
     )
+    # "externals": {uri: schema} — pre-registered external resources, the
+    # analog of the reference's remote-ref test server (TestServer.java:16-20
+    # serving test_sources/remotes) without network I/O
+    for uri, ext in group.get("externals", {}).items():
+        compiler.registry.register(ext, uri)
     compiled = compiler.compile(group["schema"])
     failures = []
     for case in group["tests"]:

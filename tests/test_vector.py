@@ -138,6 +138,8 @@ def test_vector_parity_with_dynamic(group):
     """Wherever the instances of a conformance group fit a typed Arrow
     column, the vector kernel must agree with the dynamic evaluator."""
     compiler = DynamicCompiler(formats_assert=group.get("formats_assert", False))
+    for uri, ext in group.get("externals", {}).items():
+        compiler.registry.register(ext, uri)
     dyn = compiler.compile(group["schema"])
 
     # bucket instances by inferable Arrow type
