@@ -151,24 +151,56 @@ class MinHasher:
         self.id_col = id_col
 
     def signatures(self, texts: pd.Series) -> np.ndarray:
-        """(n_docs, k) uint64 MinHash signature matrix."""
-        tokens = texts.fillna("").str.lower().str.findall(r"\w+")
-        sh: list[str] = []
-        counts = np.zeros(len(texts), dtype=np.int64)
+        """(n_docs, k) uint64 MinHash signature matrix.
+
+        Fully vectorized: tokens explode to one hashed uint64 each
+        (SipHash via ``hash_pandas_object`` — deterministic across
+        workers), then each w-token shingle hashes NUMERICALLY as a
+        position-weighted combination of its token hashes (no Python
+        shingle-string building — the round-1 hot-path loop).  Documents
+        with fewer than w tokens contribute one shingle combining what
+        they have; empty documents hash the empty shingle."""
         w = self.w
-        for i, toks in enumerate(tokens):
-            if len(toks) < w:
-                s = [" ".join(toks)] if toks else [""]
-            else:
-                s = [" ".join(toks[j : j + w]) for j in range(len(toks) - w + 1)]
-            sh.extend(s)
-            counts[i] = len(s)
-        base = pd.util.hash_pandas_object(pd.Series(sh, dtype=object), index=False).to_numpy().astype(np.uint64)
-        doc_of = np.repeat(np.arange(len(texts)), counts)
+        tokens = texts.fillna("").str.lower().str.findall(r"\w+")
+        n_tok = tokens.str.len().to_numpy()
+        flat = tokens.explode(ignore_index=True).dropna()
+        th = pd.util.hash_pandas_object(flat.astype(object), index=False).to_numpy().astype(np.uint64)
+        tok_doc = np.repeat(np.arange(len(texts)), n_tok)
+
+        P = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+                      0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64)[:w]
+        N = len(th)
+        # full windows: start p valid iff the whole window stays in one doc
+        if N >= w:
+            base_full = np.zeros(N - w + 1, dtype=np.uint64)
+            for j in range(w):
+                base_full += th[j : N - w + 1 + j] * P[j]
+            full_ok = tok_doc[: N - w + 1] == tok_doc[w - 1 :]
+            base_full = base_full[full_ok]
+            doc_full = tok_doc[: N - w + 1][full_ok]
+        else:
+            base_full = np.zeros(0, dtype=np.uint64)
+            doc_full = np.zeros(0, dtype=np.int64)
+        # short docs (0 < n_tok < w): one shingle per doc = weighted sum of
+        # its tokens; empty docs: the constant empty-shingle hash
+        short = np.where((n_tok > 0) & (n_tok < w))[0]
+        if len(short):
+            acc = np.zeros(len(texts), dtype=np.uint64)
+            np.add.at(acc, tok_doc, th * P[np.minimum(
+                np.arange(N) - np.repeat(np.cumsum(n_tok) - n_tok, n_tok), w - 1
+            )])
+            base_short = acc[short]
+        else:
+            base_short = np.zeros(0, dtype=np.uint64)
+        empty = np.where(n_tok == 0)[0]
+
+        base = np.concatenate([base_full, base_short, np.zeros(len(empty), dtype=np.uint64)])
+        doc_of = np.concatenate([doc_full, short, empty])
         # k permutations (wraparound multiply-add), min per doc per perm
         sig = np.full((len(texts), self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
-        H = base[:, None] * self.A[None, :] + self.B[None, :]  # (n_shingles, k)
-        np.minimum.at(sig, doc_of, H)
+        if len(base):
+            H = base[:, None] * self.A[None, :] + self.B[None, :]  # (n_shingles, k)
+            np.minimum.at(sig, doc_of, H)
         return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -297,11 +329,11 @@ class SimHasher:
         texts = batch[self.text_col].to_pandas()
         tokens = texts.fillna("").str.lower().str.findall(r"\w+")
         counts = tokens.str.len().to_numpy()
-        flat = [t for toks in tokens for t in toks]
+        flat = tokens.explode(ignore_index=True).dropna()
         doc_of = np.repeat(np.arange(len(texts)), counts)
         sig = np.zeros(len(texts), dtype=np.uint64)
-        if flat:
-            h = pd.util.hash_pandas_object(pd.Series(flat, dtype=object), index=False).to_numpy().astype(np.uint64)
+        if len(flat):
+            h = pd.util.hash_pandas_object(flat.astype(object), index=False).to_numpy().astype(np.uint64)
             bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")  # (n_tok, 64)
             contrib = bits.astype(np.int32) * 2 - 1
             acc = np.zeros((len(texts), 64), dtype=np.int64)
