@@ -422,6 +422,27 @@ def q_table_report(sf_dir: str) -> pa.Table:
     return counts
 
 
+def q_row_constraints(sf_dir: str) -> pa.Table:
+    """Whole-row (cross-column) constraint: each row validates as one
+    JSON object whose properties are the columns — here an if/then
+    between event_type and value plus required keys, vectorized over a
+    synthesized struct."""
+    from json_schema_ray.stages.constraint import validate_table
+
+    row_schema = {
+        "required": ["event_id", "user_id"],
+        "if": {"properties": {"event_type": {"const": "purchase"}}},
+        "then": {"properties": {"value": {"minimum": 50}}},
+    }
+    counts, _ = validate_table(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"]),
+        spec={},
+        id_col="event_id",
+        row_schema=row_schema,
+    )
+    return counts
+
+
 def q_topk_orders(sf_dir: str) -> pa.Table:
     """Distributed sort + limit: Ray Data's sort operator (range-partition
     shuffle) truncated to the global top 10 by price."""
@@ -713,6 +734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q_topk_orders,
         "orders_by_nation": q_orders_by_nation,
         "table_report": q_table_report,
+        "row_constraints": q_row_constraints,
         # rows-only checks (non-SQL-expressible / approximate)
         "hll_cardinality": q_hll_cardinality,
         "minhash_near_dup": q_minhash_near_dup,
@@ -873,6 +895,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, round(avg(score), 6) AS avg_quality, count(*) AS n
             FROM s GROUP BY source
+        """,
+        "row_constraints": """
+            SELECT '__row__/schema' AS constraint_id, count(*) AS n_rows,
+                   count(*) FILTER (WHERE event_id IS NULL OR user_id IS NULL
+                                    OR (event_type = 'purchase'
+                                        AND (value IS NULL OR value < 50))) AS n_bad
+            FROM events
         """,
         "topk_orders": """
             SELECT o_orderkey, o_totalprice FROM orders

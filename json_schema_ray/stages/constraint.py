@@ -60,8 +60,16 @@ def compile_auto(
 
         return k_dynamic_json, "dynamic-json"
 
+    from ..kernels.vector import _strip_absent
+
+    strip = pa.types.is_struct(dtype) or pa.types.is_map(dtype)
+
     def k_dynamic(arr: pa.Array) -> np.ndarray:
+        # struct columns follow the field-presence convention (property
+        # present iff non-null) on BOTH paths — strip before evaluating
         vals = arr.to_pylist()
+        if strip:
+            vals = [None if v is None else _strip_absent(v) for v in vals]
         return np.fromiter((compiled.is_valid(v) for v in vals), dtype=bool, count=len(vals))
 
     return k_dynamic, "dynamic"
@@ -173,6 +181,7 @@ def validate_table(
     formats_assert: bool = True,
     dialect: str = "2020-12",
     violation_cap: int | None = 10_000,
+    row_schema: Any = None,
 ):
     """Full generic-table validation (the reference's validate-any-instance
     surface over a Dataset): per-constraint counts PLUS row-level
@@ -186,6 +195,13 @@ def validate_table(
     ``error_type`` is SCHEMA at this granularity (the dynamic path's
     per-keyword taxonomy is available via ``CompiledSchema.violations``
     on the failing values when callers need it).
+
+    ``row_schema`` validates each ROW as one JSON object whose properties
+    are the table's columns (present iff non-null) — the reference's
+    object semantics applied across columns, which is how cross-column
+    constraints (``required``, ``dependentRequired``, ``if/then`` between
+    columns) express on a table.  Compiled once against the synthesized
+    struct type: vectorized when possible, dynamic otherwise.
     """
     import pyarrow.compute as pc_
 
@@ -195,9 +211,21 @@ def validate_table(
     expected_json = {
         f"{col}/schema": json.dumps(spec[col], sort_keys=True)[:200] for col in spec
     }
+    row_kernel = None
+    if row_schema is not None:
+        struct_type = pa.struct(list(zip(arrow_schema.names, arrow_schema.types)))
+        row_kernel, _ = compile_auto(row_schema, struct_type, formats_assert, dialect=dialect)
+        expected_json["__row__/schema"] = json.dumps(row_schema, sort_keys=True)[:200]
 
     def split(batch: pa.Table) -> pa.Table:
         masks = plan.masks(batch)
+        if row_kernel is not None:
+            cols = [
+                c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                for c in batch.columns
+            ]
+            row_struct = pa.StructArray.from_arrays(cols, names=batch.column_names)
+            masks["__row__/schema"] = row_kernel(row_struct)
         counts = pa.table(
             {
                 "record_type": pa.array(["count"] * len(masks)),
@@ -218,13 +246,21 @@ def validate_table(
 
             tag = _uuid.uuid4().hex[:8]
             rid = pa.array([f"{tag}:{i}" for i in range(len(batch))])
-        for (cid, col, _, _), mask in zip(plan.kernels, masks.values()):
+        col_of = {cid: col for cid, col, _, _ in plan.kernels}
+        for cid, mask in masks.items():
             bad = np.where(~mask)[0]
             if not len(bad):
                 continue
             capped = bad[:violation_cap] if violation_cap else bad
             take = pa.array(capped)
             k = len(capped)
+            col = col_of.get(cid)
+            if col is None:  # whole-row constraint: render the row itself
+                actual = _to_string_col(row_struct.take(take))
+            else:
+                actual = _to_string_col(
+                    (batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray) else batch[col]).take(take)
+                )
             chunks.append(
                 pa.table(
                     {
@@ -235,9 +271,7 @@ def validate_table(
                         "row_id": rid.take(take) if not isinstance(rid, pa.ChunkedArray) else rid.combine_chunks().take(take),
                         "error_type": pa.array(["SCHEMA"] * k),
                         "expected": pa.array([expected_json[cid]] * k),
-                        "actual": _to_string_col(
-                            (batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray) else batch[col]).take(take)
-                        ),
+                        "actual": actual,
                     }
                 )
             )

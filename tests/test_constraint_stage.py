@@ -109,3 +109,35 @@ def test_validate_table_rows_and_counts(ray_session):
     row = v[(v.constraint_id == "x/schema") & (v.row_id == "r2")].iloc[0]
     assert row["actual"] == "-2" and "minimum" in row["expected"]
     assert row["error_type"] == "SCHEMA"
+
+
+def test_validate_table_row_schema_cross_column(ray_session):
+    """Whole-row constraints: required + if/then ACROSS columns with the
+    field-presence convention on both vector and dynamic paths."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_ray.stages.constraint import validate_table
+
+    t = pa.table(
+        {
+            "id": ["r1", "r2", "r3", "r4", "r5"],
+            "kind": ["purchase", "view", "purchase", None, "purchase"],
+            "value": pa.array([100.0, 1.0, 10.0, 5.0, None], type=pa.float64()),
+        }
+    )
+    row_schema = {
+        "required": ["kind"],
+        "if": {"properties": {"kind": {"const": "purchase"}}},
+        "then": {"properties": {"value": {"minimum": 50}}},
+    }
+    counts, viol = validate_table(rd.from_arrow(t), spec={}, id_col="id", row_schema=row_schema)
+    c = counts.to_pandas().set_index("constraint_id")
+    # r3: purchase w/ low value; r4: kind absent (required fails; note the
+    # vacuous if-branch also fires then since kind is absent, value 5 < 50);
+    # r5: purchase w/ value absent -> then's properties vacuous -> passes? No:
+    # minimum applies only when value present -> r5 PASSES the then branch.
+    assert int(c.loc["__row__/schema", "n_bad"]) == 2
+    v = viol.to_pandas()
+    assert sorted(v["row_id"]) == ["r3", "r4"]
+    assert v["actual"].str.contains("purchase|5.0").all()
