@@ -183,3 +183,26 @@ def test_struct_parity(schema, rows):
         doc = {k: v for k, v in row.items() if v is not None}
         want = cs.is_valid(doc)
         assert bool(got[i]) == want, (schema, row, bool(got[i]), want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    a=st.text(alphabet="abcdefg h", min_size=0, max_size=60),
+    b=st.text(alphabet="abcdefg h", min_size=0, max_size=60),
+    shared=st.text(alphabet="xyz w", min_size=14, max_size=30),
+)
+def test_winnowing_shared_substring_guarantee(a, b, shared):
+    """Winnowing guarantee (SIGMOD'03): two documents sharing a substring
+    of length ≥ window + k - 1 share at least one selected fingerprint
+    (k=5, window=8 → 12 chars after whitespace normalization; generate 14
+    to survive it)."""
+    from json_schema_ray.functions.text import add_winnow_fingerprints
+
+    d1, d2 = a + shared + b, b + shared + a
+    t = pa.table({"doc_id": ["x", "y"], "text": [d1, d2]})
+    fp = add_winnow_fingerprints(t, k=5, window=8)
+    s1, s2 = (set(x) for x in fp["winnow"].to_pylist())
+    # normalized shared run: lowercased, whitespace collapsed
+    norm = " ".join(shared.lower().split())
+    if len(norm) >= 5 + 8 - 1:
+        assert s1 & s2, (d1, d2)
