@@ -86,7 +86,7 @@ def _assert_parity(schema, arr: pa.Array, values: list) -> None:
         assert bool(got[i]) == want, (schema, v, bool(got[i]), want)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 @given(
     schema=combod(num_schema()),
     values=st.lists(st.one_of(NUMS, st.none()), min_size=1, max_size=8),
@@ -101,7 +101,7 @@ def test_numeric_parity(schema, values, as_float):
     _assert_parity(schema, arr, vals)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=120, deadline=None, derandomize=True)
 @given(
     schema=combod(str_schema()),
     values=st.lists(st.one_of(STRINGS, st.none()), min_size=1, max_size=8),
@@ -111,7 +111,7 @@ def test_string_parity(schema, values):
     _assert_parity(schema, arr, values)
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=80, deadline=None, derandomize=True)
 @given(
     item=num_schema(),
     prefix=st.one_of(st.none(), st.lists(num_schema(), min_size=1, max_size=2)),
@@ -152,7 +152,7 @@ def struct_schema() -> st.SearchStrategy:
     )
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=100, deadline=None, derandomize=True)
 @given(
     schema=struct_schema(),
     rows=st.lists(
@@ -185,7 +185,7 @@ def test_struct_parity(schema, rows):
         assert bool(got[i]) == want, (schema, row, bool(got[i]), want)
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=40, deadline=None, derandomize=True)
 @given(
     a=st.text(alphabet="abcdefg h", min_size=0, max_size=60),
     b=st.text(alphabet="abcdefg h", min_size=0, max_size=60),
