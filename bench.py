@@ -183,6 +183,12 @@ def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
         em.q_distinct_exact(sf_dir)
         queries["distinct_exact"] = round(time.time() - t, 3)
 
+        # dynamic path (compile-once, validate-many over a JSON column) —
+        # the reference's core Schema.apply workload
+        t = time.time()
+        em.q_json_props(sf_dir)
+        queries["json_props_dynamic"] = round(time.time() - t, 3)
+
         result = {
             "metric": "validation_pipeline_wall_time",
             "value": round(headline, 3),
