@@ -2,20 +2,27 @@
 
 Physical plan (Ray-Data-first; SURVEY.md §3 target lifecycle):
 
-1. WIDE SCAN (one pass, streaming): ``read_parquet`` over the pending
-   hive partitions → ``map_batches(SpanValidator)`` actor pool emits the
-   narrow results stream (violations + per-partition partials + sketch
-   partials).  Only this small stream is materialized — never the input.
-2. NARROW SCAN: ``read_parquet(columns=[doc_id])`` (column pruning) →
-   salted two-phase groupby → duplicate doc_ids (stages/shuffle.py).
-3. SKETCH MERGE: partial HLL / t-digest blobs merge (two-level tree on
-   Ray for large runs, driver-side below the threshold).
+1. WIDE SCAN (ONE streaming pass): ``read_parquet`` over the pending
+   hive partitions → ``map_batches`` span-validator tasks.  Each task
+   runs the vectorized span kernels, WRITES its own violation rows into
+   the hive-partitioned output (side output; content-derived filenames →
+   task retries overwrite, idempotent), and emits only per-partition
+   count partials + HLL/t-digest partials — the driver never holds a
+   violation row.  (``referential_strategy="hash"`` keeps the violation
+   stream instead, since the semi-join's dangling rows merge in later.)
+2. NARROW SCAN, concurrent: ``read_parquet(columns=[doc_id])`` over ALL
+   partitions (uniqueness is a cross-partition property, also on resume)
+   → per-block ``value_counts`` combiner → explicit hash-bucket
+   map-reduce (stages/shuffle.py — measured 5-7× the sort-based groupby).
+3. SKETCH MERGE: partial HLL / t-digest blobs merge (Ray tree above
+   ~2000 partials, driver-side below — stage-launch latency dominates
+   small merges).
 4. DRIFT: merged t-digests vs baseline profile → KS / PSI verdicts.
-5. WRITE: violations parquet partitioned by ``partition_id``
-   (idempotent: stale dirs of uncompleted partitions are cleared first),
-   per-partition verdicts, then atomic manifest completion entries with
-   lineage + metrics (state/checkpoint.py) — a rerun skips completed
-   partitions at the read.
+5. VERDICTS + MANIFEST: per-partition verdict rows (manifest rows of
+   completed partitions merged back in on resume), dataset-level
+   duplicate count persisted, atomic completion entries with lineage +
+   metrics (state/checkpoint.py) — a rerun prunes completed partitions
+   at the read.
 """
 
 from __future__ import annotations
