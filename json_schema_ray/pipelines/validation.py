@@ -165,8 +165,15 @@ def run_validation(
         catalog_ref = ray.put(cat_refs)
 
     # ---------------- stage 1: wide scan -------------------------------
+    # Block-split heuristic: Ray's default read parallelism follows the
+    # file count (hive layouts often have few, large files — 64 × 100k-row
+    # blocks here), which leaves CPUs in coarse waves with straggler tails
+    # and giant per-task working sets.  Splitting to ~16 blocks per CPU
+    # measured 4.7× on the 6M-doc corpus at 32 CPUs (50.5 s → 10.7 s scan).
     t = time.time()
-    ds = rd.read_parquet(all_files)
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    nblocks = max(len(all_files), n_cpus * 16)
+    ds = rd.read_parquet(all_files, override_num_blocks=nblocks)
     # hive layouts carry partition_id in the path (no schema fetch needed)
     hive_layout = all(("partition_id=" in f) for f in all_files)
     if not hive_layout and "partition_id" not in ds.schema().names:
