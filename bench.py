@@ -4,10 +4,11 @@
   {"metric": "...", "value": <headline sec>, "unit": "sec",
    "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N}
 
-Headline = full validation pipeline (scan+kernels+sketches → salted
-uniqueness shuffle → referential semi-join → sketch merge → verdict
-writes) over a deterministic SF-scaled interleaved table (seed=42, no
-external data), mirroring /root/testdata sizing per TESTDATA.md.
+Headline = full validation pipeline (auto-split scan + kernels +
+in-scan violation side-output + sketch partials ‖ concurrent uniqueness
+map-reduce → referential semi-join → sketch merge → verdicts) over a
+deterministic SF-scaled interleaved table (seed=42, no external data),
+mirroring /root/testdata sizing per TESTDATA.md.
 
 ``--scaling``: runs the plain bench twice in FRESH processes at
 num_cpus=8 and 32 (sandbox proxy for N vs 4N nodes, see BASELINE.md)
@@ -165,6 +166,19 @@ def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
         queries["docs_per_sec"] = round(n_docs / headline, 1)
 
         # companion ops over the driver testdata at the same SF
+        # (skipped in --scaling subprocesses: only the headline matters
+        # there, and four extra companion sweeps would quadruple the
+        # window in which the host can drift mid-measurement)
+        if os.environ.get("GRAFT_HEADLINE_ONLY"):
+            return {
+                "metric": "validation_pipeline_wall_time",
+                "value": round(headline, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "num_cpus": num_cpus,
+                "n_docs": n_docs,
+            }
         t = time.time()
         import __ray_entry__ as em
 
@@ -213,7 +227,7 @@ def run_scaling(sf_dir: str) -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_BENCH_MULT=str(mult))
+                   GRAFT_BENCH_MULT=str(mult), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
