@@ -225,3 +225,40 @@ def test_violation_expected_actual_message_golden(ray_session, gen_dir, tmp_path
     r = by_cid["spans/minItems"]
     assert r["expected"] == "minItems=1"
     assert r["message"] == "Required minimum items amount is 1, Actual size: 0"
+
+
+def test_incremental_ingestion_new_partition(ray_session, tmp_path):
+    """Incremental mode: a new hive partition appearing later is validated
+    by a resume run without re-scanning completed partitions — the
+    streaming-ingestion pattern for a checkpointed batch validator."""
+    import numpy as np
+    import pyarrow as pa
+
+    from json_schema_ray.pipelines.validation import run_validation
+
+    rates = {k: 0.0 for k in ("dup_doc_id", "bad_kind", "bad_media_ref_format",
+                               "dangling_media_ref", "null_text", "offset_disorder", "empty_spans")}
+    data = generate(n_docs=300, seed=21, rates=rates, n_parts=3)
+    paths = write_dataset(str(tmp_path / "inc"), data)
+    out = str(tmp_path / "out")
+    r1 = run_validation(paths["documents"], catalog_path=paths["catalog"],
+                        out_dir=out, concurrency=2)
+    assert sorted(r1.verdicts["partition_id"].to_pylist()) == [0, 1, 2]
+
+    # a NEW partition arrives (ids disjoint, one seeded bad kind)
+    extra = generate(n_docs=80, seed=99, rates=rates, n_parts=1)
+    docs = extra.documents
+    pid = pa.array(np.full(len(docs), 3, dtype=np.int32))
+    docs = docs.set_column(docs.column_names.index("partition_id"), "partition_id", pid)
+    part_dir = os.path.join(paths["documents"], "partition_id=3")
+    os.makedirs(part_dir)
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(docs.drop(["partition_id"]), os.path.join(part_dir, "part.parquet"))
+
+    r2 = run_validation(paths["documents"], catalog_path=paths["catalog"],
+                        out_dir=out, concurrency=2)
+    assert sorted(r2.skipped_partitions) == [0, 1, 2]  # untouched
+    assert sorted(r2.verdicts["partition_id"].to_pylist()) == [0, 1, 2, 3]
+    vd = r2.verdicts.to_pandas().set_index("partition_id")
+    assert vd.loc[3, "n_docs"] == 80
