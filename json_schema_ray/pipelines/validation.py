@@ -63,6 +63,10 @@ def _task_validator(catalog_ref, viol_dir: str | None = None):
         key = (catalog_ref.hex() if catalog_ref is not None else None, viol_dir)
         sv = _WORKER_VALIDATORS.get(key)
         if sv is None:
+            if len(_WORKER_VALIDATORS) >= 4:
+                # long-lived workers serve many runs; each cached validator
+                # pins a catalog array — bound the cache instead of leaking
+                _WORKER_VALIDATORS.clear()
             sv = SpanValidator(catalog_ref=catalog_ref, viol_dir=viol_dir)
             _WORKER_VALIDATORS[key] = sv
         return sv(batch)
