@@ -70,8 +70,16 @@ class ConstraintEngineBuilder:
 
     def register_schema(self, uri: str, schema: Any) -> "ConstraintEngineBuilder":
         """Pre-register an external schema resource so ``$ref: uri``
-        resolves without I/O (no network in compiled plans)."""
+        resolves without I/O (``SchemaBuilder.addMappingIdToSchema``,
+        ``js/SchemaBuilder.java:228-285``)."""
         self._registry.register(schema, uri)
+        return self
+
+    def map_ref(self, identifier: str, uri: str) -> "ConstraintEngineBuilder":
+        """Alias an opaque ``$ref`` identifier to a concrete URI, resolved
+        by registered resources or scheme loaders
+        (``SchemaBuilder.addMappingIdToURI``, ``js/SchemaBuilder.java:153-156``)."""
+        self._registry.aliases[identifier] = uri
         return self
 
     def set_content_processing(self, mode: str) -> "ConstraintEngineBuilder":

@@ -111,6 +111,10 @@ class SchemaRegistry:
         # scheme -> callable(uri) -> schema document; consulted lazily on
         # resolve() misses (pre-registered resources always win)
         self.loaders: dict[str, Any] = dict(loaders) if loaders is not None else dict(DEFAULT_LOADERS)
+        # reference-string → URI aliases (SchemaBuilder.addMappingIdToURI,
+        # js/SchemaBuilder.java:153-156): applied before resolution, so an
+        # opaque identifier can point at a loadable/registered resource
+        self.aliases: dict[str, str] = {}
         self.resources: dict[str, Any] = {}
         self.anchors: dict[tuple[str, str], Any] = {}
         self.dynamic_anchors: dict[tuple[str, str], Any] = {}
@@ -194,6 +198,7 @@ class SchemaRegistry:
         (``js/loaders/SchemasRegistry.java:227-298``) minus lazy remote
         loading: unknown resources raise.
         """
+        ref = self.aliases.get(ref, ref)
         abs_uri = _join(base, ref)
         doc_uri, frag = urldefrag(abs_uri)
         frag = unquote(frag)
