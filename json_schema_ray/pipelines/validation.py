@@ -248,6 +248,11 @@ def run_validation(
     if direct_write:
         aux = results_ds.to_pandas()  # partials + sketches only: tiny
         timings["scan_validate"] = time.time() - t
+        if aux.empty and "record_type" not in aux.columns:  # zero-row input
+            aux = pd.DataFrame(
+                columns=["record_type", "partition_id", "constraint_id", "n_docs",
+                         "n_bad", "feature", "sketch_kind", "blob"]
+            )
         partials = aux[aux["record_type"] == "partial"][
             ["partition_id", "constraint_id", "n_docs", "n_bad"]
         ]

@@ -90,6 +90,10 @@ def _count_mapreduce(ds: "ray.data.Dataset", key: str, n_buckets: int, reduce_ta
     def mapper(tbl, nb: int):
         if not isinstance(tbl, pa.Table):
             tbl = pa.Table.from_pandas(tbl)
+        if len(tbl) == 0 or key not in tbl.column_names:
+            # zero-row blocks can carry an empty (key-less) schema; a typed
+            # placeholder could mismatch the real key type — mark with None
+            return tuple(None for _ in range(nb))
         vc = pc_.value_counts(tbl[key])
         keys, cnts = vc.field("values"), vc.field("counts")
         h = pd.util.hash_pandas_object(keys.to_pandas(), index=False).to_numpy()
@@ -102,6 +106,9 @@ def _count_mapreduce(ds: "ray.data.Dataset", key: str, n_buckets: int, reduce_ta
 
     @_ray.remote
     def reducer(*parts):
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return None
         return reduce_table(pa.concat_tables(parts))
 
     mapper_n = mapper.options(num_returns=n_buckets)
@@ -112,7 +119,7 @@ def _count_mapreduce(ds: "ray.data.Dataset", key: str, n_buckets: int, reduce_ta
     if not map_refs:
         return []
     outs = [reducer.remote(*[r[i] for r in map_refs]) for i in range(n_buckets)]
-    return _ray.get(outs)
+    return [r for r in _ray.get(outs) if r is not None]
 
 
 def find_duplicate_keys(

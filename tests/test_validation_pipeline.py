@@ -262,3 +262,20 @@ def test_incremental_ingestion_new_partition(ray_session, tmp_path):
     assert sorted(r2.verdicts["partition_id"].to_pylist()) == [0, 1, 2, 3]
     vd = r2.verdicts.to_pandas().set_index("partition_id")
     assert vd.loc[3, "n_docs"] == 80
+
+
+def test_empty_partition_input(ray_session, tmp_path):
+    """Zero-row partitions flow through the whole pipeline: empty blocks
+    may carry key-less schemas (regression: the uniqueness mapper raised
+    KeyError on them) and the verdict is a clean pass."""
+    import pyarrow.parquet as pq_
+
+    from json_schema_ray.pipelines.validation import run_validation
+
+    docs_dir = tmp_path / "documents" / "partition_id=0"
+    docs_dir.mkdir(parents=True)
+    data = generate(n_docs=10, seed=1, n_parts=1)
+    pq_.write_table(data.documents.slice(0, 0).drop(["partition_id"]), str(docs_dir / "part.parquet"))
+    r = run_validation(str(tmp_path / "documents"), out_dir=str(tmp_path / "out"), concurrency=1)
+    assert len(r.verdicts) == 1
+    assert r.all_pass and r.n_violations == 0
