@@ -296,4 +296,17 @@ def validate_table(
         ),
         batch_format="pyarrow",
     )
+    if counts.count() == 0:  # zero-row input: still report every constraint
+        import ray.data as _rd
+
+        cids = list(expected_json)
+        counts = _rd.from_arrow(
+            pa.table(
+                {
+                    "constraint_id": pa.array(cids),
+                    "n_rows": pa.array([0] * len(cids), type=pa.int64()),
+                    "n_bad": pa.array([0] * len(cids), type=pa.int64()),
+                }
+            )
+        )
     return counts, violations
