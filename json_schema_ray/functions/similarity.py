@@ -150,6 +150,8 @@ def build_ivf_index(
             [pa.table(b) for b in ds.limit(sample_size).iter_batches(batch_format="pyarrow")]
         )[emb_col]
     )
+    if sample.ndim != 2 or len(sample) == 0:
+        raise ValueError("build_ivf_index: dataset has no embedding rows to train on")
     C = train_centroids(sample, n_clusters, seed=seed)
     cref = ray.put(C)
 
