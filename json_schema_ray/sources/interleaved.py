@@ -157,7 +157,6 @@ def generate(
     for d in bad_kind_docs:
         s = offsets[d] + rng.randint(0, n_spans[d])
         kind_idx[s] = 4  # "bogus"
-    expected["bad_kind"] = sorted(doc_ids[bad_kind_docs])
 
     bad_fmt_docs = _pick_docs_with_spans(rng, n_spans, rates["bad_media_ref_format"])
     for d in bad_fmt_docs:
@@ -165,7 +164,6 @@ def generate(
         kind_idx[s] = 1  # image
         text_idx[s] = -1
         ref_idx[s] = MALFORMED
-    expected["bad_media_ref_format"] = sorted(doc_ids[bad_fmt_docs])
 
     dang_docs = _pick_docs_with_spans(rng, n_spans, rates["dangling_media_ref"])
     for d in dang_docs:
@@ -173,7 +171,6 @@ def generate(
         kind_idx[s] = 1  # image
         text_idx[s] = -1
         ref_idx[s] = catalog_size + rng.randint(0, n_dangling_pool)
-    expected["dangling_media_ref"] = sorted(doc_ids[dang_docs])
 
     null_text_docs = _pick_docs_with_spans(rng, n_spans, rates["null_text"])
     for d in null_text_docs:
@@ -181,15 +178,32 @@ def generate(
         kind_idx[s] = 0  # text
         text_idx[s] = -1
         ref_idx[s] = -1
-    expected["null_text"] = sorted(doc_ids[null_text_docs])
 
     dis_docs = _pick_docs_with_spans(rng, n_spans, rates["offset_disorder"], min_spans=2)
     for d in dis_docs:
         s = offsets[d] + rng.randint(0, n_spans[d] - 1)
         span_offsets[s], span_offsets[s + 1] = span_offsets[s + 1], span_offsets[s]
-    expected["offset_disorder"] = sorted(doc_ids[dis_docs])
 
-    expected["empty_spans"] = sorted(doc_ids[empty_idx])
+    # ---------- ground truth from the FINAL arrays -----------------------
+    # injections can land on the same span at independent rates (a later
+    # class overwrites an earlier one); expectations therefore derive from
+    # the final state, not from the picked doc lists
+    def _docs_with(span_mask: np.ndarray) -> list[str]:
+        hit = np.zeros(n_docs, dtype=bool)
+        hit[doc_of_span[span_mask]] = True
+        return sorted(set(doc_ids[hit]))
+
+    is_media_k = (kind_idx >= 1) & (kind_idx <= 3)
+    expected["bad_kind"] = _docs_with(kind_idx == 4)
+    expected["bad_media_ref_format"] = _docs_with(is_media_k & (ref_idx == MALFORMED))
+    expected["dangling_media_ref"] = _docs_with(is_media_k & (ref_idx >= catalog_size) & (ref_idx < MALFORMED))
+    expected["null_text"] = _docs_with((kind_idx == 0) & (text_idx == -1))
+    disorder = np.zeros(total, dtype=bool)
+    if total > 1:
+        same_doc = doc_of_span[1:] == doc_of_span[:-1]
+        disorder[1:] = same_doc & (span_offsets[1:] <= span_offsets[:-1])
+    expected["offset_disorder"] = _docs_with(disorder)
+    expected["empty_spans"] = sorted(set(doc_ids[empty_idx]))
 
     # ---------- assemble Arrow table ------------------------------------
     span_type = pa.struct(

@@ -279,3 +279,37 @@ def test_empty_partition_input(ray_session, tmp_path):
     r = run_validation(str(tmp_path / "documents"), out_dir=str(tmp_path / "out"), concurrency=1)
     assert len(r.verdicts) == 1
     assert r.all_pass and r.n_violations == 0
+
+
+@pytest.mark.parametrize("seed,n_docs,n_parts,hot", [
+    (101, 400, 2, {"bad_kind": 0.05}),
+    (202, 350, 5, {"offset_disorder": 0.04, "empty_spans": 0.03}),
+    (303, 500, 1, {"dangling_media_ref": 0.05, "null_text": 0.05}),
+    (404, 450, 3, {"dup_doc_id": 0.03, "bad_media_ref_format": 0.04}),
+])
+def test_flagship_exact_violations_across_configs(ray_session, tmp_path, seed, n_docs, n_parts, hot):
+    """Flagship sweep: seeded violation classes at varied rates, seeds and
+    partition counts must reproduce EXACTLY in the written violation rows."""
+    from json_schema_ray.pipelines.validation import run_validation
+
+    rates = {k: 0.0 for k in ("dup_doc_id", "bad_kind", "bad_media_ref_format",
+                               "dangling_media_ref", "null_text", "offset_disorder", "empty_spans")}
+    rates.update(hot)
+    data = generate(n_docs=n_docs, seed=seed, rates=rates, n_parts=n_parts)
+    paths = write_dataset(str(tmp_path / f"cfg{seed}"), data)
+    report = run_validation(paths["documents"], catalog_path=paths["catalog"],
+                            out_dir=str(tmp_path / f"out{seed}"), concurrency=2)
+    got = _violations_by_constraint(report)
+    exp = data.expected
+    mapping = {
+        "bad_kind": "spans[].kind/enum",
+        "bad_media_ref_format": "spans[].media_ref/format",
+        "dangling_media_ref": "spans[].media_ref/referential",
+        "null_text": "spans[].text/required",
+        "offset_disorder": "spans[].offset/order",
+        "empty_spans": "spans/minItems",
+    }
+    for key, cid in mapping.items():
+        assert got.get(cid, []) == exp[key], (seed, key)
+    vd = report.verdicts.to_pandas()
+    assert vd["n_dup_doc_ids"].iloc[0] == len(exp["dup_doc_id"])
