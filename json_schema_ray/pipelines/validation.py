@@ -341,22 +341,33 @@ def run_validation(
                 batch_format="pyarrow",
             )
 
-        def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-            has_ref = bool((g["src"] == "ref").any())
-            has_scan = bool((g["src"] == "scan").any())
-            return pd.DataFrame(
-                {
-                    "partition_id": [g["partition_id"].iloc[0]],
-                    "ref": [np.int64(has_ref)],
-                    "new_bad": [np.int64(has_ref and not has_scan)],
-                }
+        def add_bucket(b: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(b["doc_id"].to_pandas(), index=False).to_numpy()
+            return b.append_column("bucket", pa.array((h % 64).astype(np.int32)))
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            # one vectorized pandas pass per 64-way bucket — NOT one tiny
+            # group per (partition, doc), which melts at violation scale
+            flags = (
+                g.assign(is_ref=g["src"] == "ref", is_scan=g["src"] == "scan")
+                .groupby(["partition_id", "doc_id"], sort=False)[["is_ref", "is_scan"]]
+                .any()
             )
+            flags["new_bad"] = flags["is_ref"] & ~flags["is_scan"]
+            out = (
+                flags.reset_index()
+                .groupby("partition_id", sort=False)
+                .agg(ref=("is_ref", "sum"), new_bad=("new_bad", "sum"))
+                .reset_index()
+            )
+            return out.astype({"ref": np.int64, "new_bad": np.int64})
 
         per_part = (
             _keys(scan_viol_ds, "scan")
             .union(_keys(dangling_ds, "ref"))
-            .groupby(["partition_id", "doc_id"])
-            .map_groups(per_doc, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(per_bucket, batch_format="pandas")
             .groupby("partition_id")
             .aggregate(Sum("ref", alias_name="n_ref"), Sum("new_bad", alias_name="n_new"))
             .to_pandas()
