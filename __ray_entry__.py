@@ -594,6 +594,59 @@ def q_winnow_near_dup(sf_dir: str) -> pa.Table:
     return winnow_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def q_near_dup_dedup(sf_dir: str) -> pa.Table:
+    """Full near-dup curation step: MinHash-LSH candidates → union-find
+    clusters → keep-one-per-cluster filter of the corpus (broadcast
+    drop-set inside the scan)."""
+    from json_schema_ray.functions.dedup import dedup_clusters, drop_near_dups, minhash_lsh_candidates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_candidates(ds, concurrency=2)
+    clusters = dedup_clusters(pairs)
+    kept = drop_near_dups(ds, pairs).count()
+    return pa.table(
+        {
+            "n_docs": pa.array([ds.count()], type=pa.int64()),
+            "n_clusters": pa.array(
+                [int(pc.sum(pc.cast(clusters["keep"], pa.int64())).as_py() or 0)], type=pa.int64()
+            ),
+            "n_kept": pa.array([kept], type=pa.int64()),
+        }
+    )
+
+
+def q_corpus_filter(sf_dir: str) -> pa.Table:
+    """Curation funnel: language-ID + quality threshold filter → surviving
+    doc count + mean quality (SQL-oracled end to end)."""
+    from ray.data.aggregate import Count, Mean
+
+    from json_schema_ray.functions.text import LangId, add_quality_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = add_quality_score(batch)
+        return t.select(["doc_id", "lang_pred", "quality_score"])
+
+    out = (
+        ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(score, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.filter(
+                pc.and_(pc.equal(b["lang_pred"], "en"), pc.greater_equal(b["quality_score"], 0.5))
+            ),
+            batch_format="pyarrow",
+        )
+        .aggregate(Count(alias_name="n_kept"), Mean("quality_score", alias_name="avg_q"))
+    )
+    return pa.table(
+        {
+            "n_kept": pa.array([int(out["n_kept"])], type=pa.int64()),
+            "avg_q": pa.array([round(float(out["avg_q"]), 6)], type=pa.float64()),
+        }
+    )
+
+
 def q_langid(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count
 
@@ -735,6 +788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": q_orders_by_nation,
         "table_report": q_table_report,
         "row_constraints": q_row_constraints,
+        "near_dup_dedup": q_near_dup_dedup,
+        "corpus_filter": q_corpus_filter,
         # rows-only checks (non-SQL-expressible / approximate)
         "hll_cardinality": q_hll_cardinality,
         "minhash_near_dup": q_minhash_near_dup,
@@ -750,10 +805,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _langid_oracle_sql() -> str:
-    """SQL mirror of functions/text.LangId: per-language marker-word hit
-    counts (RE2 in both engines), argmax with first-wins tie order
-    (en, de, fr, es), 'und' when nothing hits."""
+QUALITY_SCORE_SQL = """(
+    0.4 * least(length(text)::DOUBLE / 500.0, 1.0)
+    + 0.3 * (1.0 - least((len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                          / greatest(length(text)::DOUBLE, 1.0)) * 5.0, 1.0))
+    + 0.3 * exp(-0.5 * pow((greatest(length(text)::DOUBLE
+                            - (greatest(len(regexp_extract_all(text, '\\S+'))::DOUBLE, 1.0) - 1.0), 0.0)
+                           / greatest(len(regexp_extract_all(text, '\\S+'))::DOUBLE, 1.0) - 5.0) / 3.0, 2))
+)"""
+
+
+def _langid_case_sql() -> tuple[str, str]:
+    """(hit-count SELECT columns, argmax CASE) mirroring functions/text.LangId:
+    per-language marker-word hit counts (RE2 in both engines), argmax with
+    first-wins tie order (en, de, fr, es), 'und' when nothing hits."""
     from json_schema_ray.functions.text import LANG_MARKERS
 
     cols = {
@@ -769,9 +834,23 @@ def _langid_oracle_sql() -> str:
         cond = " AND ".join(f"{la} >= {o}" for o in rest)
         case += f"WHEN {cond} THEN '{la}' "
     case += f"ELSE '{langs[-1]}' END"
+    return hits, case
+
+
+def _langid_oracle_sql() -> str:
+    hits, case = _langid_case_sql()
     return f"""
         WITH h AS (SELECT {hits} FROM documents)
         SELECT {case} AS lang_pred, count(*) AS n FROM h GROUP BY 1
+    """
+
+
+def _corpus_filter_oracle_sql() -> str:
+    hits, case = _langid_case_sql()
+    return f"""
+        WITH h AS (SELECT {hits}, {QUALITY_SCORE_SQL} AS score FROM documents),
+        kept AS (SELECT score FROM h WHERE ({case}) = 'en' AND score >= 0.5)
+        SELECT count(*) AS n_kept, round(avg(score), 6) AS avg_q FROM kept
     """
 
 
@@ -864,6 +943,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(brk) AS BIGINT) AS n_sessions FROM d GROUP BY user_id
         """,
         "langid": _langid_oracle_sql(),
+        "corpus_filter": _corpus_filter_oracle_sql(),
         "table_report": f"""
             SELECT 'event_type/schema' AS constraint_id, count(*) AS n_rows,
                    count(*) FILTER (WHERE event_type IS NULL OR event_type NOT IN ({ets})) AS n_bad

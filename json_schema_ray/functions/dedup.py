@@ -408,6 +408,63 @@ def simhash_candidates(
     return pa.Table.from_pandas(_dedup_pairs(pairs, ["hamming"]), preserve_index=False)
 
 
+# --------------------------------------------------- near-dup resolution
+
+
+def dedup_clusters(pairs: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Resolve candidate PAIRS into duplicate clusters: connected
+    components via union-find over the (small, ∝ near-dups) pair set —
+    driver-side by design, like the reference candidate verifications —
+    → (id, cluster_id, keep) where ``keep`` marks the cluster's smallest
+    id (deterministic canonical survivor)."""
+    a = pairs["id_a"].to_pylist()
+    b = pairs["id_b"].to_pylist()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a, b):
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # union by canonical (smaller) id → deterministic roots
+            lo, hi = (rx, ry) if str(rx) <= str(ry) else (ry, rx)
+            parent[hi] = lo
+    ids = sorted(parent)
+    roots = [find(x) for x in ids]
+    return pa.table(
+        {
+            id_col: pa.array(ids),
+            "cluster_id": pa.array(roots),
+            "keep": pa.array([i == r for i, r in zip(ids, roots)]),
+        }
+    )
+
+
+def drop_near_dups(ds, pairs: pa.Table, id_col: str = "doc_id"):
+    """Filter a Dataset down to one survivor per near-dup cluster: the
+    (small) drop-set broadcasts into an ``is_in`` filter inside the scan
+    — no shuffle of the big side."""
+    clusters = dedup_clusters(pairs, id_col)
+    drop = clusters.filter(pc.invert(clusters["keep"]))[id_col]
+    if len(drop) == 0:
+        return ds
+    drop_set = drop.combine_chunks() if isinstance(drop, pa.ChunkedArray) else drop
+    return ds.map_batches(
+        lambda b, _d=drop_set: b.filter(
+            pc.invert(pc.is_in(b[id_col], value_set=_d))
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ------------------------------------------------------------- winnowing
 
 

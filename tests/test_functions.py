@@ -375,3 +375,28 @@ def test_winnow_fingerprints_and_candidates(ray_session):
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert ("d0", "d1") in got and ("d0", "d2") in got and ("d1", "d2") in got
     assert not any("d3" in p for pair in got for p in pair)
+
+
+def test_dedup_clusters_and_drop(ray_session):
+    """Pair resolution: union-find clusters with deterministic canonical
+    survivors; drop filter keeps exactly one doc per cluster."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_ray.functions.dedup import dedup_clusters, drop_near_dups
+
+    pairs = pa.table(
+        {
+            "id_a": ["a", "b", "x", "m"],
+            "id_b": ["b", "c", "y", "a"],  # {a,b,c,m} chain + {x,y}
+        }
+    )
+    cl = dedup_clusters(pairs).to_pandas().set_index("doc_id")
+    assert set(cl.index) == {"a", "b", "c", "m", "x", "y"}
+    assert cl.loc[["a", "b", "c", "m"], "cluster_id"].nunique() == 1
+    assert cl.loc["a", "keep"] and not cl.loc["b", "keep"]  # smallest id survives
+    assert cl.loc["x", "keep"] and not cl.loc["y", "keep"]
+
+    ds = rd.from_arrow(pa.table({"doc_id": list("abcmxyz"), "text": [""] * 7}))
+    kept = sorted(drop_near_dups(ds, pairs).to_pandas()["doc_id"])
+    assert kept == ["a", "x", "z"]  # one per cluster + untouched z
