@@ -157,8 +157,25 @@ def compile_vector(schema: Any, dtype: pa.DataType, formats_assert: bool = True)
     parts: list[Kernel] = []
     jt = _arrow_json_type(dtype)
 
+    # draft7 "dependencies" splits by value shape into the two modern
+    # keywords (js/compilers/DependenciesCompiler.java:69-76) — rewrite at
+    # plan time so the struct kernels below handle both halves
+    if "dependencies" in schema and isinstance(schema["dependencies"], dict):
+        dep_req = dict(schema.get("dependentRequired", {}))
+        dep_sch = dict(schema.get("dependentSchemas", {}))
+        for name, dep in schema["dependencies"].items():
+            if isinstance(dep, list):
+                dep_req[name] = dep
+            else:
+                dep_sch[name] = dep
+        schema = {k: v for k, v in schema.items() if k != "dependencies"}
+        if dep_req:
+            schema["dependentRequired"] = dep_req
+        if dep_sch:
+            schema["dependentSchemas"] = dep_sch
+
     unsupported = set(schema) & {
-        "$ref", "$dynamicRef", "$recursiveRef", "dependencies", "contentSchema",
+        "$ref", "$dynamicRef", "$recursiveRef", "contentSchema",
     }
     if unsupported:
         raise UnsupportedVector(f"keywords {sorted(unsupported)} need the dynamic path")

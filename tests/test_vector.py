@@ -315,3 +315,29 @@ def test_segment_reduction_trailing_empty_and_slices():
     big = pa.array([[1], [9, 9], [1], []], type=lt)
     assert list(k(big.slice(1, 3))) == [True, False, True]
     assert list(k(big.slice(3, 1))) == [True]
+
+
+def test_draft7_dependencies_vectorized():
+    """draft7 dependencies (array → dependentRequired, schema →
+    dependentSchemas) compile to struct kernels; parity vs dynamic."""
+    import json as _json
+
+    dt = pa.struct([("credit_card", pa.int64()), ("billing_address", pa.string()), ("name", pa.string())])
+    rows = [
+        {"credit_card": 1, "billing_address": "x"},
+        {"credit_card": 1},
+        {"name": "n"},
+        {"credit_card": 1, "name": "ok"},
+    ]
+    arr = pa.array(rows, type=dt)
+    for sch in (
+        {"dependencies": {"credit_card": ["billing_address"]}},
+        {"dependencies": {"credit_card": {"required": ["name"]}}},
+        {"dependencies": {"credit_card": ["billing_address"], "name": {"minProperties": 2}}},
+    ):
+        kern = compile_vector(sch, dt)
+        cs = DynamicCompiler(dialect="draft7").compile(sch)
+        got = kern(arr)
+        for i, row in enumerate(rows):
+            want = cs.is_valid(row)
+            assert bool(got[i]) == want, (sch, row)
