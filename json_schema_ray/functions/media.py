@@ -200,6 +200,49 @@ class ImageDecoder:
         )
 
 
+def resize_rgb(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (vectorized index sampling) — the stdlib
+    analog of PIL's resize for the decode paths this container supports."""
+    h, w = rgb.shape[:2]
+    yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return rgb[yi][:, xi]
+
+
+class ImageResizer:
+    """Actor-pool stage: (media_ref, payload) → resized payload (BMP) +
+    dimensions.  Same decode resolution order as ImageDecoder; payloads
+    that cannot decode pass through unchanged with ``resized=False``."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32, strict: bool = False):
+        self.out_w, self.out_h = out_w, out_h
+        self.dec = ImageDecoder(feature_dim=1, strict=strict)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        outs, ok = [], []
+        for r, p in zip(refs, payloads):
+            try:
+                _, _, _, rgb = decode_image_bytes(bytes(p))
+                outs.append(encode_bmp(resize_rgb(rgb, self.out_w, self.out_h)))
+                ok.append(True)
+            except (ValueError, TypeError):
+                if self.dec.strict:
+                    raise NotImplementedError("cannot decode payload for resize")
+                outs.append(p)
+                ok.append(False)
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "payload": pa.array(outs, type=pa.binary()),
+                "width": pa.array([self.out_w if k else -1 for k in ok], type=pa.int32()),
+                "height": pa.array([self.out_h if k else -1 for k in ok], type=pa.int32()),
+                "resized": pa.array(ok),
+            }
+        )
+
+
 class FrameSampler:
     """Video frame-sampling stub: ``media_ref`` → ``n_frames`` sampled
     frame indices + per-frame fake features.  Real path would use

@@ -400,3 +400,39 @@ def test_dedup_clusters_and_drop(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": list("abcmxyz"), "text": [""] * 7}))
     kept = sorted(drop_near_dups(ds, pairs).to_pandas()["doc_id"])
     assert kept == ["a", "x", "z"]  # one per cluster + untouched z
+
+
+def test_image_resize_stage(ray_session):
+    """Real resize over the stdlib decode path: exact nearest-neighbor
+    pixels, re-encoded BMP round-trips; undecodable payloads pass through."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_ray.functions.media import (
+        ImageResizer,
+        decode_image_bytes,
+        encode_bmp,
+        resize_rgb,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    small = resize_rgb(px, 6, 8)
+    assert small.shape == (8, 6, 3)
+    assert (small[0, 0] == px[0, 0]).all()  # corner preserved by NN
+
+    batch = pa.table(
+        {
+            "media_ref": ["a", "b"],
+            "payload": pa.array([encode_bmp(px), b"not an image"], type=pa.binary()),
+        }
+    )
+    out = rd.from_arrow(batch).map_batches(
+        ImageResizer, fn_constructor_kwargs={"out_w": 6, "out_h": 8},
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 1),
+    ).to_pandas()
+    assert out["resized"].tolist() == [True, False]
+    w, h, _, rgb = decode_image_bytes(out["payload"][0])
+    assert (w, h) == (6, 8) and (rgb == small).all()
+    assert out["payload"][1] == b"not an image"  # pass-through
