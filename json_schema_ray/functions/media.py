@@ -200,6 +200,88 @@ class ImageDecoder:
         )
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """stdlib WAV (PCM 8/16-bit) → (sample_rate, n_channels,
+    (n_frames, n_channels) float32 in [-1, 1])."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        sr, nch, sw = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    return sr, nch, x.reshape(-1, nch)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n_frames,) or (n_frames, ch) float in [-1, 1] → 16-bit PCM WAV."""
+    import io
+    import wave
+
+    x = np.atleast_2d(samples.T).T
+    pcm = np.clip(x * 32767.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(x.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+class AudioFeatures:
+    """Actor-pool stage: WAV payloads → (duration_sec, sample_rate, rms,
+    zero_crossing_rate) via the stdlib decoder; hash-derived fake for
+    undecodable payloads (strict=True raises instead)."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        payloads = (
+            batch["payload"].to_pylist() if "payload" in batch.column_names else [None] * len(refs)
+        )
+        rows = {"duration_sec": [], "sample_rate": [], "rms": [], "zcr": [], "decode_path": []}
+        for r, p in zip(refs, payloads):
+            try:
+                if p is None:
+                    raise ValueError("no payload")
+                sr, _, x = decode_wav(bytes(p))
+                mono = x.mean(axis=1)
+                rows["duration_sec"].append(len(mono) / sr)
+                rows["sample_rate"].append(sr)
+                rows["rms"].append(float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0)
+                rows["zcr"].append(
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if len(mono) > 1 else 0.0
+                )
+                rows["decode_path"].append("stdlib")
+            except Exception as e:  # codec boundary: wave.Error/struct.error/ValueError
+                if self.strict:
+                    raise NotImplementedError(f"cannot decode audio payload: {e}")
+                h = hashlib.sha256((r or "").encode()).digest()
+                rows["duration_sec"].append(1 + h[3] % 30)
+                rows["sample_rate"].append(16000)
+                rows["rms"].append(h[4] / 255.0)
+                rows["zcr"].append(h[5] / 255.0)
+                rows["decode_path"].append("fake")
+        return pa.table(
+            {
+                "media_ref": batch["media_ref"],
+                "duration_sec": pa.array(rows["duration_sec"], type=pa.float64()),
+                "sample_rate": pa.array(rows["sample_rate"], type=pa.int32()),
+                "rms": pa.array(rows["rms"], type=pa.float64()),
+                "zcr": pa.array(rows["zcr"], type=pa.float64()),
+                "decode_path": pa.array(rows["decode_path"], type=pa.string()),
+            }
+        )
+
+
 def resize_rgb(rgb: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize (vectorized index sampling) — the stdlib
     analog of PIL's resize for the decode paths this container supports."""

@@ -436,3 +436,35 @@ def test_image_resize_stage(ray_session):
     w, h, _, rgb = decode_image_bytes(out["payload"][0])
     assert (w, h) == (6, 8) and (rgb == small).all()
     assert out["payload"][1] == b"not an image"  # pass-through
+
+
+def test_audio_features_stage(ray_session):
+    """Real WAV path: stdlib decode recovers known signal statistics
+    (sine RMS ≈ 1/√2, zcr ≈ 2f/sr); undecodable payloads get the
+    declared deterministic fake."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_ray.functions.media import AudioFeatures, decode_wav, encode_wav
+
+    sr, f = 16000, 440.0
+    t = np.arange(sr) / sr  # 1 second
+    sine = 0.5 * np.sin(2 * np.pi * f * t)
+    wav = encode_wav(sine, sr)
+    sr2, nch, x = decode_wav(wav)
+    assert (sr2, nch) == (16000, 1) and abs(len(x) / sr2 - 1.0) < 1e-6
+
+    batch = pa.table(
+        {
+            "media_ref": ["s", "junk"],
+            "payload": pa.array([wav, b"nope"], type=pa.binary()),
+        }
+    )
+    out = rd.from_arrow(batch).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=(1, 1)
+    ).to_pandas()
+    assert out["decode_path"].tolist() == ["stdlib", "fake"]
+    assert abs(out["duration_sec"][0] - 1.0) < 1e-6
+    assert abs(out["rms"][0] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(out["zcr"][0] - 2 * f / sr) < 5e-3
