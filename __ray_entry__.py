@@ -745,6 +745,38 @@ def q_media_decode(sf_dir: str) -> pa.Table:
     )
 
 
+def q_media_audio(sf_dir: str) -> pa.Table:
+    """Audio family: deterministic WAV payloads per media ref → stdlib
+    decode → duration/RMS/zero-crossing features, aggregated."""
+    import ray.data as rd
+
+    from json_schema_ray.functions.media import AudioFeatures, synth_wav_payload
+    from json_schema_ray.sources.interleaved import interleave_from_documents
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    data = interleave_from_documents(docs, seed=42, n_parts=4)
+    refs = pc.struct_field(data.documents["spans"].combine_chunks().flatten(), "media_ref").drop_null().unique()
+    tbl = pa.table(
+        {
+            "media_ref": refs,
+            "payload": pa.array([synth_wav_payload(r) for r in refs.to_pylist()], type=pa.binary()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=256, concurrency=(1, 2))
+        .to_pandas()
+    )
+    n_real = int((out["decode_path"] == "stdlib").sum())
+    return pa.table(
+        {
+            "n_decoded": pa.array([len(out)], type=pa.int64()),
+            "n_real_decodes": pa.array([n_real], type=pa.int64()),
+            "avg_duration": pa.array([round(float(out["duration_sec"].mean()), 4)], type=pa.float64()),
+        }
+    )
+
+
 def q_drift(sf_dir: str) -> pa.Table:
     """t-digest drift: events.value first half (baseline) vs scaled copy."""
     from json_schema_ray.state.tdigest import TDigest, ks_statistic, psi
@@ -801,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": q_ivf_ann,
         "span_validation": q_span_validation,
         "media_decode": q_media_decode,
+        "media_audio": q_media_audio,
         "drift": q_drift,
     }
 

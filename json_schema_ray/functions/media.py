@@ -1,7 +1,9 @@
 """Multimodal column stages: decode / feature-extract / resize /
 frame-sample over opaque ``binary`` media payloads with typed metadata.
 
-Decode resolution order per payload:
+Families: image (decode / feature-extract / resize), audio
+(WAV decode / feature-extract), video (frame-sample stub with real
+plumbing).  Image decode resolution order per payload:
 
 1. **PIL**, when importable (not in this container — the import hook is
    real and tested by force-injecting a stub module);
@@ -112,6 +114,16 @@ DECODED_IMAGE_SCHEMA = pa.schema(
         ("decode_path", pa.string()),  # "pil" | "stdlib" | "fake"
     ]
 )
+
+
+def synth_wav_payload(ref: str, sr: int = 8000) -> bytes:
+    """Deterministic short WAV tone derived from the ref hash (exercises
+    the REAL stdlib audio path without external data)."""
+    h = hashlib.sha256((ref or "").encode()).digest()
+    f = 200.0 + (h[0] << 2)
+    dur = 0.05 + (h[1] % 20) / 100.0
+    t = np.arange(int(sr * dur)) / sr
+    return encode_wav(0.4 * np.sin(2 * np.pi * f * t), sr)
 
 
 def synth_bmp_payload(ref: str) -> bytes:
