@@ -351,6 +351,33 @@ def q_window_events(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_sliding_windows(sf_dir: str) -> pa.Table:
+    """Sliding event-time windows (1 h length, 15 min step): each event
+    maps to its 4 covering windows vectorized (repeat + offset — the
+    batch-engine mapping of a sliding window), then one groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    STEP = 900_000_000  # 15 min in µs
+    K = 4  # windows covering each event = length / step
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        step_idx = us // STEP  # window start index of the last covering window
+        starts = (step_idx[:, None] - np.arange(K)[None, :]).reshape(-1)
+        vals = np.repeat(batch["value"].to_numpy(zero_copy_only=False), K)
+        return pa.table({"win_start": pa.array(starts), "value": pa.array(vals)})
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("win_start")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_asof_prior_click(sf_dir: str) -> pa.Table:
     """Event-time as-of join WITHIN the events stream: for each purchase,
     the user's most recent prior click.  Hash-partition by user
@@ -814,6 +841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ts_range": q_ts_range,
         "ann_topk": q_ann_topk,
         "window_events": q_window_events,
+        "sliding_windows": q_sliding_windows,
         "asof_prior_click": q_asof_prior_click,
         "session_windows": q_session_windows,
         "topk_orders": q_topk_orders,
@@ -958,6 +986,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS win,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY win
+        """,
+        "sliding_windows": """
+            WITH e AS (SELECT CAST(epoch_us(ts) // 900000000 AS BIGINT) AS si, value FROM events),
+            x AS (SELECT si - k AS win_start, value FROM e CROSS JOIN (SELECT unnest([0,1,2,3]) AS k))
+            SELECT win_start, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM x GROUP BY win_start
         """,
         "asof_prior_click": """
             SELECT p.event_id,
