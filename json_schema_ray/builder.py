@@ -46,10 +46,26 @@ class ConstraintEngineBuilder:
     def register_loader(self, scheme: str, loader: Callable[[str], Any]) -> "ConstraintEngineBuilder":
         """Per-URI-scheme resource loader for lazy ``$ref`` resolution at
         COMPILE time on the driver (``SchemaBuilder.registerResourceLoader``,
-        ``js/SchemaBuilder.java:103-133``).  ``file``/``http``/``https``
-        are pre-registered (spec/schema.DEFAULT_LOADERS); compiled plans
-        shipped to workers never perform I/O."""
+        ``js/SchemaBuilder.java:103-133``).  ``file``/``classpath`` are
+        pre-registered (spec/schema.DEFAULT_LOADERS); ``http(s)`` is
+        OPT-IN via :meth:`allow_network_loaders` — unlike the reference's
+        default-on embedded loaders, an untrusted schema here cannot make
+        the driver fetch remote URLs.  Compiled plans shipped to workers
+        never perform I/O."""
         self._registry.loaders[scheme] = loader
+        return self
+
+    def allow_network_loaders(self, on: bool = True) -> "ConstraintEngineBuilder":
+        """Enable (or disable) the ``http``/``https`` compile-time ``$ref``
+        loaders — the analog of ``SchemaBuilder.allowEmbedResourceLoaders``
+        (``js/SchemaBuilder.java:103-133``), inverted to default-off."""
+        from .spec.schema import NETWORK_LOADERS
+
+        if on:
+            self._registry.loaders.update(NETWORK_LOADERS)
+        else:
+            for scheme in NETWORK_LOADERS:
+                self._registry.loaders.pop(scheme, None)
         return self
 
     def assert_formats(self, on: bool = True) -> "ConstraintEngineBuilder":

@@ -27,12 +27,26 @@ deterministic sample and the truncation is reported, never silent.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .similarity import _to_matrix
 from .text import add_fingerprint
+
+
+@lru_cache(maxsize=8)
+def _lsh_planes(seed: int, dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """Random-hyperplane matrices for sign-LSH — pure function of the
+    arguments, so every worker derives IDENTICAL planes locally (cached
+    once per process); no per-batch regeneration and no driver→worker
+    shipping."""
+    r = np.random.RandomState(seed)
+    return np.stack([r.normal(size=(dim, n_planes)) for _ in range(n_tables)])
+
 
 # ------------------------------------------------- distributed LSH plumbing
 
@@ -593,18 +607,19 @@ def embedding_near_dup(
     candidate set's vectors are then fetched with one broadcast id-set
     filter and verified with a vectorized cosine."""
 
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
     def bucketize(batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+        emb = _to_matrix(batch[emb_col])
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         emb = emb / np.clip(norms, 1e-12, None)
-        dim = emb.shape[1]
-        r = np.random.RandomState(seed)  # same planes in every task
-        planes = [r.normal(size=(dim, n_planes)) for _ in range(n_tables)]
+        # planes derived once per worker process (_lsh_planes lru_cache),
+        # identical everywhere — round 2 rebuilt them on every batch
+        planes = _lsh_planes(seed, emb.shape[1], n_planes, n_tables)
         ids = batch[id_col].to_pandas().to_numpy()
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
         out_ids, out_key = [], []
-        for t, P in enumerate(planes):
-            bucket = ((emb @ P) > 0) @ weights
+        for t in range(n_tables):
+            bucket = ((emb @ planes[t]) > 0) @ weights
             out_ids.append(ids)
             out_key.append((np.int64(t) << 32) | bucket)
         return pa.table(
@@ -622,8 +637,14 @@ def embedding_near_dup(
         return pd.DataFrame({"id_a": list(a), "id_b": list(b)})
 
     banded = ds.map_batches(bucketize, batch_format="pyarrow").materialize()
+    # empty-result ids typed from the dataset's ACTUAL id column (string id
+    # datasets previously got int64 empties — schema divergence between the
+    # empty and non-empty shapes broke downstream unions).  Read the type
+    # off the materialized banded table, which is always Arrow-backed even
+    # when the source dataset holds pandas blocks.
+    id_type = banded.schema().base_schema.field(id_col).type
     empty = pa.table(
-        {"id_a": pa.array([], type=pa.int64()), "id_b": pa.array([], type=pa.int64()),
+        {"id_a": pa.array([], type=id_type), "id_b": pa.array([], type=id_type),
          "cosine": pa.array([], type=pa.float64())}
     )
     collide = _colliding_rows(banded)
@@ -648,7 +669,7 @@ def embedding_near_dup(
         batch_format="pyarrow",
     ).iter_batches(batch_format="pyarrow"):
         ids_np = b[id_col].to_pandas().to_numpy()
-        E = np.asarray(b[emb_col].to_pylist(), dtype=np.float64)
+        E = _to_matrix(b[emb_col])
         E = E / np.clip(np.linalg.norm(E, axis=1, keepdims=True), 1e-12, None)
         for i, vid in enumerate(ids_np):
             emb_map[vid] = E[i]

@@ -27,7 +27,15 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float64)
+    """``list<float>`` column → (n, dim) float64 matrix WITHOUT a Python
+    round-trip: flatten the child values buffer and reshape.  ``flatten()``
+    honors slice offsets (zero-copy re-batched blocks), so this is
+    zero-copy up to the dtype cast — the old ``to_pylist()`` path boxed
+    every float into a Python object on the hot path of every
+    ANN/embedding stage."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten()
+    return np.asarray(flat).reshape(len(arr), -1).astype(np.float64, copy=False)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:

@@ -201,10 +201,13 @@ class DynamicCompiler:
     # ------------------------------------------------------------- entry
 
     def compile(self, schema: Any, uri: str | None = None) -> CompiledSchema:
-        if not self._dialect_explicit and isinstance(schema, dict):
-            d = detect_dialect(schema.get("$schema"))
-            if d is not None:
-                self.dialect = d
+        if not self._dialect_explicit:
+            # Resolve the dialect PER compile() call: detect from this root's
+            # "$schema", else RESET to the documented 2020-12 fallback — a
+            # reused compiler must not leak a previous root's detected
+            # dialect into a $schema-less schema.
+            d = detect_dialect(schema.get("$schema")) if isinstance(schema, dict) else None
+            self.dialect = d or "2020-12"
         base = self.registry.register(schema, uri or DEFAULT_BASE)
         fn = self._compile(schema, base)
         return CompiledSchema(fn, base)
@@ -237,6 +240,26 @@ class DynamicCompiler:
     # --------------------------------------------------------- schema object
 
     def _compile_object(self, sch: dict, base: str) -> Evaluator:
+        # Embedded resource with its own "$schema": compile that subtree under
+        # ITS dialect (DialectRegistry per-resource semantics), not the root's.
+        # Only resource roots ($id present) may switch; an explicit
+        # constructor dialect still wins everywhere.
+        if (
+            not self._dialect_explicit
+            and isinstance(sch, dict)
+            and "$schema" in sch
+            and "$id" in sch
+        ):
+            d = detect_dialect(sch.get("$schema"))
+            if d is not None and d != self.dialect:
+                prev, self.dialect = self.dialect, d
+                try:
+                    return self._compile_object_body(sch, base)
+                finally:
+                    self.dialect = prev
+        return self._compile_object_body(sch, base)
+
+    def _compile_object_body(self, sch: dict, base: str) -> Evaluator:
         reg = self.registry
         base = reg.base_of(sch, base)
         dialect = self.dialect
@@ -257,16 +280,29 @@ class DynamicCompiler:
         if "$dynamicRef" in sch and dialect == "2020-12":
             ref = sch["$dynamicRef"]
 
-            def dyn_ref(v, sc, ip, _ref=ref, _base=base):
+            def dyn_ref(v, sc, ip, _ref=ref, _base=base, _dial=dialect):
+                # lazy compile runs at evaluate time — pin the dialect this
+                # closure was authored under, not whatever a later compile()
+                # left on the instance
                 node, rbase = reg.resolve_dynamic(_ref, _base, sc)
-                return self._compile(node, rbase)(v, sc, ip)
+                prev, self.dialect = self.dialect, _dial
+                try:
+                    fn = self._compile(node, rbase)
+                finally:
+                    self.dialect = prev
+                return fn(v, sc, ip)
 
             k(dyn_ref)
         if "$recursiveRef" in sch and dialect == "2019-09":
 
-            def rec_ref(v, sc, ip, _base=base):
+            def rec_ref(v, sc, ip, _base=base, _dial=dialect):
                 node, rbase = reg.resolve_recursive(_base, sc)
-                return self._compile(node, rbase)(v, sc, ip)
+                prev, self.dialect = self.dialect, _dial
+                try:
+                    fn = self._compile(node, rbase)
+                finally:
+                    self.dialect = prev
+                return fn(v, sc, ip)
 
             k(rec_ref)
 

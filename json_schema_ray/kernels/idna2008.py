@@ -15,9 +15,10 @@ and the RFC 5893 Bidi rule.
 
 Documented approximations (conservative, each strictly narrower than
 the spec):
-- the ZWNJ/ZWJ CONTEXTJ regular-expression branch needs Joining_Type
-  data that unicodedata does not expose; only the virama (ccc=9) branch
-  is implemented, so ZWNJ in Arabic-style joining contexts is rejected;
+- the ZWNJ CONTEXTJ regular-expression branch (RFC 5892 A.1) uses
+  Joining_Type from the public ``idna`` package's bundled UCD tables
+  when importable, else an embedded core Arabic/Syriac table — unknown
+  code points default to non-joining (rejected, never accepted);
 - Default_Ignorable_Code_Point is approximated as general-category Cf
   plus the explicit non-Cf ranges (variation selectors etc.).
 """
@@ -103,6 +104,62 @@ def _is_virama(ch: str) -> bool:
     return unicodedata.combining(ch) == 9
 
 
+# Joining_Type (UCD ArabicShaping.txt) for the RFC 5892 Appendix A.1 ZWNJ
+# regular-expression branch.  Primary source: the public `idna` package's
+# bundled UCD tables; fallback: a small embedded table of the core
+# Arabic/Syriac letters (the ranges ZWNJ legitimately appears in), with
+# Mn/Me/Cf defaulting to Transparent per UAX #44 and everything else to
+# non-joining — strictly narrower than the spec, never wider.
+_JT_FALLBACK: dict[int, str] = {0x0640: "C", 0x0671: "R", 0x0710: "R"}
+for _lo, _hi, _v in (
+    (0x0622, 0x0625, "R"), (0x0627, 0x0627, "R"), (0x0629, 0x0629, "R"),
+    (0x062F, 0x0632, "R"), (0x0648, 0x0648, "R"),
+    (0x0626, 0x0626, "D"), (0x0628, 0x0628, "D"), (0x062A, 0x062E, "D"),
+    (0x0633, 0x063A, "D"), (0x0641, 0x0647, "D"), (0x0649, 0x064A, "D"),
+    (0x0712, 0x0714, "D"), (0x0715, 0x0719, "R"), (0x071A, 0x071D, "D"),
+    (0x071E, 0x071E, "R"), (0x071F, 0x0727, "D"), (0x0728, 0x0728, "R"),
+    (0x0729, 0x0729, "D"), (0x072A, 0x072A, "R"), (0x072B, 0x072B, "D"),
+    (0x072C, 0x072C, "R"),
+):
+    for _cp in range(_lo, _hi + 1):
+        _JT_FALLBACK[_cp] = _v
+
+
+@lru_cache(maxsize=1)
+def _joining_table() -> dict:
+    try:
+        from idna.idnadata import joining_types
+
+        t = joining_types() if callable(joining_types) else joining_types
+        # older idna versions store ord values; normalize to str
+        return {cp: (chr(v) if isinstance(v, int) else v) for cp, v in t.items()}
+    except Exception:
+        return _JT_FALLBACK
+
+
+def _joining_type(ch: str) -> str:
+    v = _joining_table().get(ord(ch))
+    if v:
+        return v
+    if unicodedata.category(ch) in ("Mn", "Me", "Cf"):
+        return "T"
+    return "U"
+
+
+def _zwnj_regexp_ok(label: str, i: int) -> bool:
+    """RFC 5892 Appendix A.1 second branch:
+    (Joining_Type:{L,D}) (T)* ZWNJ (T)* (Joining_Type:{R,D})."""
+    j = i - 1
+    while j >= 0 and _joining_type(label[j]) == "T":
+        j -= 1
+    if j < 0 or _joining_type(label[j]) not in ("L", "D"):
+        return False
+    j = i + 1
+    while j < len(label) and _joining_type(label[j]) == "T":
+        j += 1
+    return j < len(label) and _joining_type(label[j]) in ("R", "D")
+
+
 def _greek(ch: str) -> bool:
     cp = ord(ch)
     return 0x0370 <= cp <= 0x03FF or 0x1F00 <= cp <= 0x1FFF
@@ -127,8 +184,12 @@ def _context_ok(label: str, i: int) -> bool:
     cp = ord(label[i])
     prev = label[i - 1] if i > 0 else ""
     nxt = label[i + 1] if i + 1 < len(label) else ""
-    if cp == 0x200C or cp == 0x200D:  # ZWNJ / ZWJ: virama branch only
+    if cp == 0x200D:  # ZWJ: virama branch only (Appendix A.2)
         return bool(prev) and _is_virama(prev)
+    if cp == 0x200C:  # ZWNJ: virama branch OR Joining_Type regexp (A.1)
+        if prev and _is_virama(prev):
+            return True
+        return _zwnj_regexp_ok(label, i)
     if cp == 0x00B7:  # middle dot: between two 'l'
         return prev == "l" and nxt == "l"
     if cp == 0x0375:  # Greek lower numeral sign: before Greek

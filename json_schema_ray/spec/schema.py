@@ -103,14 +103,42 @@ def http_loader(uri: str) -> Any:
         return _json.loads(r.read().decode("utf-8"))
 
 
-DEFAULT_LOADERS = {"file": file_loader, "http": http_loader, "https": http_loader}
+def classpath_loader(uri: str) -> Any:
+    """``classpath:`` scheme loader — the reference bundles schemas as JVM
+    classpath resources (``js/loaders/ClasspathLoader.java:186-203``); the
+    Python analog resolves ``classpath:pkg.subpkg/name.json`` through
+    ``importlib.resources`` so schemas shipped inside an installed package
+    are addressable from ``$ref`` without a filesystem path."""
+    import json as _json
+    from importlib import resources
+
+    path = uri.split(":", 1)[1].lstrip("/")
+    pkg, _, resource = path.partition("/")
+    if not resource:
+        raise ValueError(f"classpath URI needs 'pkg/resource' form: {uri!r}")
+    node = resources.files(pkg)
+    for part in resource.split("/"):
+        node = node / part
+    return _json.loads(node.read_text(encoding="utf-8"))
+
+
+# Default loaders are LOCAL-ONLY.  The reference enables its embedded
+# http(s) loaders by default (SchemaBuilder.allowEmbedResourceLoaders,
+# js/SchemaBuilder.java:103-133); we deliberately invert that: compiling an
+# untrusted schema must not let a remote $ref trigger a driver-side network
+# fetch (SSRF / availability surface).  Opt in with
+# ``SchemaRegistry(allow_network=True)`` or ``NETWORK_LOADERS``.
+DEFAULT_LOADERS = {"file": file_loader, "classpath": classpath_loader}
+NETWORK_LOADERS = {"http": http_loader, "https": http_loader}
 
 
 class SchemaRegistry:
-    def __init__(self, loaders: dict[str, Any] | None = None) -> None:
+    def __init__(self, loaders: dict[str, Any] | None = None, allow_network: bool = False) -> None:
         # scheme -> callable(uri) -> schema document; consulted lazily on
         # resolve() misses (pre-registered resources always win)
         self.loaders: dict[str, Any] = dict(loaders) if loaders is not None else dict(DEFAULT_LOADERS)
+        if allow_network and loaders is None:
+            self.loaders.update(NETWORK_LOADERS)
         # reference-string → URI aliases (SchemaBuilder.addMappingIdToURI,
         # js/SchemaBuilder.java:153-156): applied before resolution, so an
         # opaque identifier can point at a loadable/registered resource

@@ -166,11 +166,21 @@ class SpanValidator:
             sub = vt.filter(pc.equal(vt["partition_id"], pa.scalar(int(p), type=pa.int32())))
             d = os.path.join(self.viol_dir, f"partition_id={int(p)}")
             os.makedirs(d, exist_ok=True)
-            ident = "|".join(
-                [str(int(p)), str(sub["doc_id"][0]), str(sub["span_index"][0].as_py()),
-                 str(sub["constraint_id"][0]), str(len(sub))]
-            )
-            name = hashlib.sha1(ident.encode()).hexdigest()[:16]
+            # filename = sha1 over the FULL batch content (every key column,
+            # every row) — two same-partition batches that share a leading
+            # row and row count must still get distinct files, else one
+            # silently overwrites the other while __viol_rows__ counts both.
+            # Content-derived (not random) so a retried task rewrites its own
+            # file, keeping the write idempotent.
+            key = pc.binary_join_element_wise(
+                pc.cast(sub["doc_id"], pa.string()).fill_null(""),
+                pc.cast(sub["span_index"], pa.string()),
+                pc.cast(sub["constraint_id"], pa.string()).fill_null(""),
+                pa.scalar("\x1f"),
+            ).combine_chunks()
+            h = hashlib.sha1(str(int(p)).encode())
+            h.update("\x1e".join(key.to_pylist()).encode())
+            name = h.hexdigest()[:16]
             pq.write_table(sub.select(self._VIOL_COLS), os.path.join(d, f"part-{name}.parquet"))
             rows.append(
                 {"record_type": "partial", "partition_id": int(p),
