@@ -78,21 +78,32 @@ def hash_referential_dangling(
     ``collect=False`` returns the dangling rows as a (still distributed)
     Dataset — the 100-TB path, where dangling rows can be too many for
     the driver; the flagship pipeline consumes it that way."""
-    import pyarrow.parquet as pq
     import ray.data as rd
 
-    cat = pq.read_table(catalog_path, columns=["media_ref"])
-    cat_refs = cat["media_ref"].to_pandas()
-    cat_bucket = (pd.util.hash_pandas_object(cat_refs, index=False).to_numpy() % n_buckets).astype(np.int32)
-    cat_tbl = pa.table(
-        {
-            "doc_id": pa.array([None] * len(cat), type=pa.string()),
-            "partition_id": pa.array(np.full(len(cat), -1, dtype=np.int32)),
-            "span_index": pa.array(np.full(len(cat), -1, dtype=np.int32)),
-            "media_ref": cat["media_ref"],
-            "bucket": pa.array(cat_bucket),
-            "side": pa.array(["R"] * len(cat)),
-        }
+    # The catalog side is READ AND BUCKETED DISTRIBUTED — the module's
+    # premise is "catalog too big to broadcast", so it is also too big for
+    # one driver-side pq.read_table (the round-2 shape).  Column-pruned
+    # scan → per-batch bucket hash → union into the same exchange.
+    def right_fn(b: pa.Table) -> pa.Table:
+        refs = pc.cast(b["media_ref"], pa.string())
+        bucket = (
+            pd.util.hash_pandas_object(refs.to_pandas(), index=False).to_numpy()
+            % n_buckets
+        ).astype(np.int32)
+        n = len(b)
+        return pa.table(
+            {
+                "doc_id": pa.array([None] * n, type=pa.string()),
+                "partition_id": pa.array(np.full(n, -1, dtype=np.int32)),
+                "span_index": pa.array(np.full(n, -1, dtype=np.int32)),
+                "media_ref": refs,
+                "bucket": pa.array(bucket),
+                "side": pa.array(["R"] * n),
+            }
+        )
+
+    cat_side = rd.read_parquet(catalog_path, columns=["media_ref"]).map_batches(
+        right_fn, batch_format="pyarrow"
     )
 
     def left_fn(b: pa.Table) -> pa.Table:
@@ -100,7 +111,7 @@ def hash_referential_dangling(
         return t.append_column("side", pa.array(["L"] * len(t)))
 
     left = docs_ds.map_batches(left_fn, batch_format="pyarrow")
-    both = left.union(rd.from_arrow(cat_tbl))
+    both = left.union(cat_side)
 
     def anti(g: pd.DataFrame) -> pd.DataFrame:
         have = set(g.loc[g["side"] == "R", "media_ref"])

@@ -39,3 +39,38 @@ def test_hash_matches_broadcast(ray_session, tmp_path):
     # the expected dangling docs are found by the hash path
     got = sorted(set(vh[vh["constraint_id"] == "spans[].media_ref/referential"]["doc_id"]))
     assert got == data.expected["dangling_media_ref"]
+
+
+def test_catalog_larger_than_span_side(ray_session, tmp_path):
+    """Round-3: the catalog side is ingested DISTRIBUTED (rd.read_parquet
+    → per-batch bucketing), never one driver-side pq.read_table.  Verify
+    correctness with a multi-file catalog much larger than the span side."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from json_schema_ray.stages.referential import hash_referential_dangling
+
+    data = generate(n_docs=120, seed=17, n_parts=2, catalog_size=64)
+    paths = write_dataset(str(tmp_path / "data"), data)
+
+    # inflate the catalog to >> span rows, split across several files so
+    # the distributed read actually fans out
+    cat_dir = tmp_path / "bigcat"
+    cat_dir.mkdir()
+    base = pq.read_table(paths["catalog"], columns=["media_ref"])
+    for i in range(6):
+        extra = pa.table(
+            {"media_ref": pa.array([f"media://pad{i:02d}-{j:06d}" for j in range(5000)])}
+        )
+        pq.write_table(
+            pa.concat_tables([base, extra]) if i == 0 else extra,
+            cat_dir / f"part-{i}.parquet",
+        )
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(paths["documents"])
+    dangling = hash_referential_dangling(docs, str(cat_dir), n_buckets=16)
+    got = sorted(set(dangling["doc_id"].to_pylist()))
+    assert got == data.expected["dangling_media_ref"]
