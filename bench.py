@@ -145,6 +145,7 @@ def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
         concurrency = max(4, num_cpus - max(2, num_cpus // 8))
         # best-of-2: the first timed run still pays allocator/page-cache
         # warm-in on this host; the second measures steady state
+        extended = os.environ.get("GRAFT_SCALING_PROFILE", "default") == "compute"
         headline, report = None, None
         for _ in range(2):
             shutil.rmtree(out_dir, ignore_errors=True)
@@ -156,6 +157,7 @@ def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
                 resume=False,
                 concurrency=concurrency,
                 batch_size=8192,
+                extended_checks=extended,
             )
             dt = time.time() - t0
             if headline is None or dt < headline:
@@ -217,39 +219,53 @@ def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
         ray.shutdown()
 
 
-def run_scaling(sf_dir: str) -> dict:
+def run_scaling(sf_dir: str, profile: str = "default") -> dict:
     """Same input + job at two parallelism levels in fresh processes
-    (cache pre-warmed by an untimed run) → scaling efficiency."""
+    (cache pre-warmed by an untimed run) → scaling efficiency.
+
+    ``profile="compute"`` runs the validation with the extended content
+    battery (quality scoring + token budget + winnowing fingerprints,
+    stages/validate.SpanValidator(extended_checks=True)): per-byte regex
+    and rolling-hash arithmetic dominates parquet decode, so the 8→32
+    proxy reflects the compute stages' cluster-scaling rather than the
+    single-VM memory-bandwidth floor the default corpus hits (see
+    BASELINE.md scaling protocol)."""
     import subprocess
 
-    mult = int(os.environ.get("GRAFT_SCALING_MULT", "3"))
+    default_mult = "1" if profile == "compute" else "3"
+    mult = int(os.environ.get("GRAFT_SCALING_MULT", default_mult))
     prepare_bench_data(_sf_from_dir(sf_dir), mult=mult)  # pre-generate once
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_BENCH_MULT=str(mult), GRAFT_HEADLINE_ONLY="1")
+                   GRAFT_BENCH_MULT=str(mult), GRAFT_HEADLINE_ONLY="1",
+                   GRAFT_SCALING_PROFILE=profile)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # interleaved A/B/A/B with per-config min: this host's throughput
-    # drifts ~2× over minutes (shared VM), so back-to-back single runs
-    # routinely charge one config for a slow phase; interleaving + min
-    # measures each config's attainable steady state on the same input
+    # interleaved A/B/A/B/A/B with per-config min (best-of-3): this host's
+    # throughput drifts 2-4× over minutes (shared VM), so back-to-back
+    # single runs routinely charge one config for a slow phase;
+    # interleaving + min measures each config's attainable steady state
+    # on the same input
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "3"))
     r8, r32 = one(8), one(32)
-    r8b, r32b = one(8), one(32)
-    if r8b["value"] < r8["value"]:
-        r8 = r8b
-    if r32b["value"] < r32["value"]:
-        r32 = r32b
+    for _ in range(rounds - 1):
+        r8b, r32b = one(8), one(32)
+        if r8b["value"] < r8["value"]:
+            r8 = r8b
+        if r32b["value"] < r32["value"]:
+            r32 = r32b
     t8, t32 = r8["value"], r32["value"]
     thr8 = r8["n_docs"] / t8
     thr32 = r32["n_docs"] / t32
     eff = (t8 / t32) / (32 / 8)
     return {
         "metric": "scaling_efficiency_8_to_32_cpus",
+        "profile": profile,
         "sec_8": t8,
         "sec_32": t32,
         "docs_per_sec_8": round(thr8, 1),
@@ -262,7 +278,10 @@ def run_scaling(sf_dir: str) -> dict:
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
+        profile = os.environ.get("GRAFT_SCALING_PROFILE", "default")
+        if "--scaling-profile" in sys.argv:
+            profile = sys.argv[sys.argv.index("--scaling-profile") + 1]
+        print(json.dumps(run_scaling(sf_dir, profile=profile)))
     else:
         num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         mult = int(os.environ.get("GRAFT_BENCH_MULT", "1"))

@@ -53,21 +53,24 @@ PLAN_FINGERPRINT = "span-plan-v1"  # bump when compiled constraints change
 _WORKER_VALIDATORS: dict = {}
 
 
-def _task_validator(catalog_ref, viol_dir: str | None = None):
+def _task_validator(catalog_ref, viol_dir: str | None = None, extended: bool = False):
     """Stateless-task flavor of the SpanValidator stage: same kernels, but
     scheduled as plain tasks over the (already warm) worker pool instead
     of a fresh actor pool.  State amortization comes from the per-worker
-    module cache keyed by (broadcast ObjectRef, violation output dir)."""
+    module cache keyed by (broadcast ObjectRef, violation output dir,
+    check profile)."""
 
     def validate_batch(batch: pa.Table) -> pa.Table:
-        key = (catalog_ref.hex() if catalog_ref is not None else None, viol_dir)
+        key = (catalog_ref.hex() if catalog_ref is not None else None, viol_dir, extended)
         sv = _WORKER_VALIDATORS.get(key)
         if sv is None:
             if len(_WORKER_VALIDATORS) >= 4:
                 # long-lived workers serve many runs; each cached validator
                 # pins a catalog array — bound the cache instead of leaking
                 _WORKER_VALIDATORS.clear()
-            sv = SpanValidator(catalog_ref=catalog_ref, viol_dir=viol_dir)
+            sv = SpanValidator(
+                catalog_ref=catalog_ref, viol_dir=viol_dir, extended_checks=extended
+            )
             _WORKER_VALIDATORS[key] = sv
         return sv(batch)
 
@@ -122,6 +125,7 @@ def run_validation(
     check_unique: bool = True,
     use_actors: bool = False,
     referential_strategy: str = "broadcast",  # "broadcast" | "hash" (large catalogs)
+    extended_checks: bool = False,  # compute-weighted content battery (quality/tokens/winnow)
 ) -> ValidationReport:
     """Run the full validation job.  Ray must already be initialized
     (callers own the session; see __ray_entry__.py contract)."""
@@ -132,8 +136,18 @@ def run_validation(
     t0 = time.time()
     timings: dict[str, float] = {}
 
-    parts = discover_partitions(docs_dir)
-    manifest = Manifest(out_dir, PLAN_FINGERPRINT) if out_dir else None
+    from ..sources.reader import is_lance_dataset, read_auto
+
+    # Lance input (BASELINE.json input_hint): partition_id is a COLUMN of
+    # the versioned table, not a hive path — file-level partition
+    # discovery / resume pruning are parquet-layout features and don't
+    # apply (a Lance-native resume would key the manifest on the dataset
+    # version; that needs the lance package).  The scan, verdicts,
+    # violations and sketches all work unchanged off the column.
+    lance_input = isinstance(docs_dir, str) and is_lance_dataset(docs_dir)
+
+    parts = {} if lance_input else discover_partitions(docs_dir)
+    manifest = Manifest(out_dir, PLAN_FINGERPRINT) if (out_dir and not lance_input) else None
     skipped: list[int] = []
     todo: dict[int, list[str]] = {}
     for pid, files in parts.items():
@@ -147,10 +161,12 @@ def run_validation(
     viol_root = os.path.join(out_dir, "violations") if out_dir else None
     if viol_root:
         # idempotent restart: clear stale outputs of partitions being (re)run
+        if lance_input:
+            shutil.rmtree(viol_root, ignore_errors=True)
         for pid in todo:
             shutil.rmtree(os.path.join(viol_root, f"partition_id={pid}"), ignore_errors=True)
 
-    if not todo:
+    if not todo and not lance_input:
         # no-op resume: reload verdicts WITH the persisted dataset-level
         # duplicate count — a run that failed on duplicate doc_ids must not
         # flip to all_pass just because nothing was re-scanned
@@ -176,10 +192,17 @@ def run_validation(
     # measured 4.7× on the 6M-doc corpus at 32 CPUs (50.5 s → 10.7 s scan).
     t = time.time()
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    nblocks = max(len(all_files), n_cpus * 16)
-    ds = rd.read_parquet(all_files, override_num_blocks=nblocks)
-    # hive layouts carry partition_id in the path (no schema fetch needed)
-    hive_layout = all(("partition_id=" in f) for f in all_files)
+    if lance_input:
+        # Lance scan: the dataset carries partition_id as a column and the
+        # fragment planner owns block sizing (read_lance has no
+        # override_num_blocks); column projection is pushed down.
+        ds = read_auto(docs_dir)
+        hive_layout = True  # partition_id arrives as a real column
+    else:
+        nblocks = max(len(all_files), n_cpus * 16)
+        ds = rd.read_parquet(all_files, override_num_blocks=nblocks)
+        # hive layouts carry partition_id in the path (no schema fetch needed)
+        hive_layout = all(("partition_id=" in f) for f in all_files)
     if not hive_layout and "partition_id" not in ds.schema().names:
         # flat (non-hive) layout: single-partition fallback — tag constant 0
         def tag_partition(batch: pa.Table) -> pa.Table:
@@ -206,7 +229,10 @@ def run_validation(
         uniq_files = [f for files in parts.values() for f in files]
 
         def _run_uniqueness():
-            key_ds = rd.read_parquet(uniq_files, columns=["doc_id"])
+            if lance_input:
+                key_ds = read_auto(docs_dir, columns=["doc_id"])
+            else:
+                key_ds = rd.read_parquet(uniq_files, columns=["doc_id"])
             return find_duplicate_keys(key_ds, "doc_id", n_salts=n_salts)
 
         uniq_start = time.time()
@@ -225,7 +251,11 @@ def run_validation(
         # actor pool: catalog loaded once per actor in __init__
         results_ds = ds.map_batches(
             SpanValidator,
-            fn_constructor_kwargs={"catalog_ref": catalog_ref, "viol_dir": viol_dir},
+            fn_constructor_kwargs={
+                "catalog_ref": catalog_ref,
+                "viol_dir": viol_dir,
+                "extended_checks": extended_checks,
+            },
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
@@ -237,7 +267,7 @@ def run_validation(
         # processes (no per-actor cold start); the broadcast catalog is
         # ray.get-cached per worker process (module-level cache)
         results_ds = ds.map_batches(
-            _task_validator(catalog_ref, viol_dir),
+            _task_validator(catalog_ref, viol_dir, extended_checks),
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
@@ -436,7 +466,12 @@ def run_validation(
     elif not check_unique and manifest is not None:
         dup_docs_total = int(manifest.dataset_metrics().get("n_dup_doc_ids", 0))
 
-    verdicts, per_part_metrics = _build_verdicts(partials, dup_docs_total, todo.keys())
+    verdict_pids = (
+        sorted(int(p) for p in partials["partition_id"].unique())
+        if lance_input and len(partials)
+        else todo.keys()
+    )
+    verdicts, per_part_metrics = _build_verdicts(partials, dup_docs_total, verdict_pids)
     # merge with the completed partitions' manifest rows (with the FRESH
     # dup count — the uniqueness scan covered all files) so a resumed run's
     # verdicts.parquet keeps every partition instead of dropping finished ones

@@ -88,6 +88,14 @@ CONSTRAINT_META: dict[str, tuple[str, str, str, str, bool]] = {
     "spans/minItems": (
         "MIN_ITEMS", "minItems=1", "Required minimum items amount is 1, Actual size: 0", "", False,
     ),
+    # extended (compute-weighted) battery — content checks over text spans
+    "spans[].text/quality": (
+        "QUALITY", "quality_score >= 0.05",
+        "Text quality score ", " below floor 0.05", True,
+    ),
+    "spans[].text/maxTokens": (
+        "MAX_TOKENS", "<= 4096 BPE tokens", "Token count ", " exceeds budget 4096", True,
+    ),
 }
 
 
@@ -131,6 +139,7 @@ class SpanValidator:
         violation_cap: int | None = 10_000,
         with_sketches: bool = True,
         viol_dir: str | None = None,
+        extended_checks: bool = False,
     ):
         import ray
 
@@ -147,6 +156,12 @@ class SpanValidator:
         # the driver never touches a violation row and the pipeline needs
         # no second pass over the results stream.
         self.viol_dir = viol_dir
+        # extended = the compute-weighted content battery (quality score,
+        # token budget, winnowing content fingerprints): real training-data
+        # curation checks whose regex/rolling-hash cost per byte dominates
+        # parquet decode, so cluster-scaling is visible above the single-VM
+        # memory-bandwidth floor (BASELINE.md scaling protocol).
+        self.extended = extended_checks
 
     # ------------------------------------------------------------------
 
@@ -188,6 +203,67 @@ class SpanValidator:
             )
 
     # ------------------------------------------------------------------
+
+    def _extended_checks(self, text, is_text: np.ndarray, sketch_rows: list[dict]):
+        """Compute-weighted content battery over the flat text child:
+        quality scoring (4 regex-count passes + composite), BPE-ish token
+        budget, and winnowing content fingerprints (rolling k-gram hash,
+        SIGMOD'03) feeding tokens t-digest + content_fp HLL sketch
+        partials.  All vectorized — the per-byte cost is regex + rolling
+        hash arithmetic, not decode."""
+        from ..functions.text import TOKEN_RE, WS_TOKEN_RE, STOPWORDS, add_winnow_fingerprints
+        from ..state.tdigest import TDigest
+
+        tq = text.fill_null("")
+        f64 = lambda a: pc.cast(a, pa.float64()).to_numpy(zero_copy_only=False)  # noqa: E731
+        n_chars = f64(pc.utf8_length(tq))
+        n_tok = f64(pc.count_substring_regex(tq, WS_TOKEN_RE))
+        n_bpe = f64(pc.count_substring_regex(tq, TOKEN_RE))
+        n_punct = f64(pc.count_substring_regex(tq, r"[^\w\s]"))
+        stop_pat = r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b"
+        n_stop = f64(pc.count_substring_regex(tq, stop_pat))
+
+        tok = np.maximum(n_tok, 1.0)
+        punct_ratio = n_punct / np.maximum(n_chars, 1.0)
+        stop_ratio = n_stop / tok  # feature parity with functions/text.py
+        mean_word_len = np.maximum(n_chars - (tok - 1), 0) / tok
+        len_score = np.clip(n_chars / 500.0, 0, 1)
+        word_len_score = np.exp(-0.5 * ((mean_word_len - 5.0) / 3.0) ** 2)
+        score = (
+            0.4 * len_score
+            + 0.3 * (1 - np.clip(punct_ratio * 5, 0, 1))
+            + 0.3 * word_len_score
+            + 0.0 * stop_ratio
+        )
+        quality_ok = ~is_text | (score >= 0.05)
+        tokens_ok = ~is_text | (n_bpe <= 4096)
+
+        if self.with_sketches:
+            wt = add_winnow_fingerprints(pa.table({"text": tq}), "text", k=8, window=16)
+            col = wt["winnow"]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            fps = np.asarray(col.flatten()).astype(np.uint64)
+            # splitmix-style finalizer: rolling-hash high bits are weak and
+            # HLL registers index off them
+            fps = fps ^ (fps >> np.uint64(30))
+            fps = fps * np.uint64(0xBF58476D1CE4E5B9)
+            fps = fps ^ (fps >> np.uint64(27))
+            hll_fp = HyperLogLog().add_hashes(fps)
+            td_tok = TDigest().add_values(n_bpe[is_text]) if is_text.any() else TDigest()
+            sketch_rows.extend(
+                [
+                    {"record_type": "sketch", "feature": "content_fp",
+                     "sketch_kind": "hll", "blob": hll_fp.to_bytes()},
+                    {"record_type": "sketch", "feature": "bpe_tokens",
+                     "sketch_kind": "tdigest", "blob": td_tok.to_bytes()},
+                ]
+            )
+        return [
+            ("spans[].text/quality", "QUALITY", quality_ok,
+             pa.array(np.round(score, 4)).cast(pa.string()) if not quality_ok.all() else None),
+            ("spans[].text/maxTokens", "MAX_TOKENS", tokens_ok,
+             pa.array(n_bpe.astype(np.int64)).cast(pa.string()) if not tokens_ok.all() else None),
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -258,6 +334,11 @@ class SpanValidator:
             ("spans[].media_ref/referential", "REFERENTIAL", ref_ok, mref),
         ]
         span_checks[3] = ("spans[].offset/order", "ORDER", order_ok, soff)
+
+        ext_sketch_rows: list[dict] = []
+        if self.extended:
+            span_checks.extend(self._extended_checks(text, is_text, ext_sketch_rows))
+
         doc_checks = [
             ("doc_id/required", "REQUIRED", did_ok),
             ("spans/minItems", "MIN_ITEMS", minitems_ok),
@@ -392,6 +473,7 @@ class SpanValidator:
                         "blob": blob,
                     }
                 )
+            rows.extend(ext_sketch_rows)
 
         vt = (
             pa.concat_tables([t.cast(RESULT_SCHEMA) for t in viol_chunks])
