@@ -875,6 +875,35 @@ def q_media_audio(sf_dir: str) -> pa.Table:
     )
 
 
+def q_media_video(sf_dir: str) -> pa.Table:
+    """Video family: deterministic JRVF clips (in-repo raw-frames
+    container: index header + BMP frames) per video-span ref → REAL
+    frame sampling — only the sampled frames are decoded, via the O(1)
+    length table (functions/media.py JRVF docs).  Reports real decode
+    counts like media_decode does."""
+    import ray.data as rd
+
+    from json_schema_ray.functions.media import sample_video_spans
+    from json_schema_ray.sources.interleaved import interleave_from_documents, write_dataset
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    data = interleave_from_documents(docs, seed=42, n_parts=4)
+    work = os.path.join(tempfile.gettempdir(), f"jsr_v_{abs(hash(sf_dir)) % 99999}")
+    paths = write_dataset(work, data)
+    out = sample_video_spans(
+        rd.read_parquet(paths["documents"]), n_frames=4, batch_size=256,
+        concurrency=2, synthesize_payloads=True,
+    ).to_pandas()
+    n_real = int((out["decode_path"] == "stdlib").sum())
+    return pa.table(
+        {
+            "n_frames_sampled": pa.array([len(out)], type=pa.int64()),
+            "n_real_decodes": pa.array([n_real], type=pa.int64()),
+            "n_videos": pa.array([out["media_ref"].nunique()], type=pa.int64()),
+        }
+    )
+
+
 def q_drift(sf_dir: str) -> pa.Table:
     """t-digest drift: events.value first half (baseline) vs scaled copy."""
     from json_schema_ray.state.tdigest import TDigest, ks_statistic, psi
@@ -933,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_validation": q_span_validation,
         "media_decode": q_media_decode,
         "media_audio": q_media_audio,
+        "media_video": q_media_video,
         "drift": q_drift,
     }
 
