@@ -55,9 +55,15 @@ def entry() -> Any:
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    """Format-autodetecting table read: `<table>.lance` dataset dir when
+    present (north-star input shape, sources/reader.py), else
+    `<table>.parquet`."""
+    from json_schema_ray.sources.reader import read_auto
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    lance_path = os.path.join(sf_dir, f"{table}.lance")
+    if os.path.isdir(lance_path):
+        return read_auto(lance_path, columns=columns)
+    return read_auto(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
 def q_col_stats(sf_dir: str) -> pa.Table:
