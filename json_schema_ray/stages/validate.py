@@ -233,7 +233,6 @@ class SpanValidator:
             0.4 * len_score
             + 0.3 * (1 - np.clip(punct_ratio * 5, 0, 1))
             + 0.3 * word_len_score
-            + 0.0 * stop_ratio
         )
         quality_ok = ~is_text | (score >= 0.05)
         tokens_ok = ~is_text | (n_bpe <= 4096)
@@ -250,12 +249,22 @@ class SpanValidator:
             fps = fps ^ (fps >> np.uint64(27))
             hll_fp = HyperLogLog().add_hashes(fps)
             td_tok = TDigest().add_values(n_bpe[is_text]) if is_text.any() else TDigest()
+            # stop_ratio feeds its own drift sketch: stopword-density
+            # shift is a classic corpus-drift signal (e.g. code or
+            # boilerplate creeping into a prose corpus), and it gives the
+            # n_stop pass a real consumer — the quality score itself
+            # keeps functions/text.py's formula (stop term weight 0).
+            td_stop = (
+                TDigest().add_values(stop_ratio[is_text]) if is_text.any() else TDigest()
+            )
             sketch_rows.extend(
                 [
                     {"record_type": "sketch", "feature": "content_fp",
                      "sketch_kind": "hll", "blob": hll_fp.to_bytes()},
                     {"record_type": "sketch", "feature": "bpe_tokens",
                      "sketch_kind": "tdigest", "blob": td_tok.to_bytes()},
+                    {"record_type": "sketch", "feature": "stop_ratio",
+                     "sketch_kind": "tdigest", "blob": td_stop.to_bytes()},
                 ]
             )
         return [

@@ -82,6 +82,7 @@ def test_extended_battery_unit():
     feats = dict(zip(sketches["feature"], sketches["sketch_kind"]))
     assert feats.get("content_fp") == "hll"
     assert feats.get("bpe_tokens") == "tdigest"
+    assert feats.get("stop_ratio") == "tdigest"  # stopword-density drift signal
 
 
 def test_extended_battery_off_by_default():
