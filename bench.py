@@ -32,6 +32,20 @@ import time
 # Must be set before worker processes spawn (they inherit the env).
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+# Route Arrow's decode buffers through glibc (which the two knobs above
+# make retention-friendly) and back arenas with transparent hugepages
+# (glibc 2.35+ tunable → MADV_HUGEPAGE; THP is madvise-mode here).
+# Rationale: /proc/stat during 32-way runs shows 60-80% SYSTEM time +
+# 20-35% hypervisor steal — the workload drowns in page faults and TLB
+# shootdown IPIs, which virtualization amplifies (an IPI stalls until
+# the target vCPU is scheduled).  Hugepages cut fault/TLB volume ~512×;
+# the system pool stops jemalloc's map/unmap churn.  Interleaved A/B at
+# 32 CPUs, compute profile: 14.9→11.1 s and 33.7→20.2 s (1.3-1.7×, the
+# gap widening exactly when the host is loaded).  Workers inherit these
+# at spawn; the driver process itself keeps its already-loaded
+# allocator, which is fine — hot work happens in workers.
+os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+os.environ.setdefault("GLIBC_TUNABLES", "glibc.malloc.hugetlb=1")
 
 
 def _sf_from_dir(sf_dir: str) -> float:
