@@ -53,6 +53,42 @@ PLAN_FINGERPRINT = "span-plan-v1"  # bump when compiled constraints change
 _WORKER_VALIDATORS: dict = {}
 
 
+def _apply_cpu_headroom(frac: float = 0.75, threshold: int = 16) -> None:
+    """Cap Ray Data execution CPU below the advertised core count on wide
+    sessions (≥ ``threshold`` CPUs → use ``frac`` of them).
+
+    Rationale (measured, see BASELINE.md round 3): on an overcommitted /
+    virtualized host, claiming every vCPU creates a STEAL CONVOY — a
+    worker holding a page-table lock or servicing a TLB-shootdown IPI
+    gets descheduled by the hypervisor and every other vCPU stalls
+    behind it.  Interleaved A/B at the same host load, compute-weighted
+    corpus: 32-way 20.9 s / 43.3 s vs 24-way **10.5 s / 7.8 s** — 2-5.5×
+    from LEAVING A QUARTER of the cores idle.  Narrow sessions (8-way)
+    show no such friction, so they keep every core.  This is the
+    single-VM analog of leaving cores for system daemons on a real
+    cluster node; disable with ``JSR_CPU_HEADROOM=0``.
+    """
+    frac_env = os.environ.get("JSR_CPU_HEADROOM")
+    if frac_env is not None:
+        f = float(frac_env)
+        if f <= 0:
+            return
+        frac = f
+    import ray
+
+    try:
+        n = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        return
+    if n < threshold:
+        return
+    from ray.data import DataContext
+    from ray.data._internal.execution.interfaces import ExecutionResources
+
+    opts = DataContext.get_current().execution_options
+    opts.resource_limits = ExecutionResources(cpu=max(threshold - 1, int(n * frac)))
+
+
 def _task_validator(catalog_ref, viol_dir: str | None = None, extended: bool = False):
     """Stateless-task flavor of the SpanValidator stage: same kernels, but
     scheduled as plain tasks over the (already warm) worker pool instead
@@ -135,6 +171,8 @@ def run_validation(
 
     t0 = time.time()
     timings: dict[str, float] = {}
+
+    _apply_cpu_headroom()
 
     from ..sources.reader import is_lance_dataset, read_auto
 
