@@ -33,19 +33,19 @@ import time
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 # Route Arrow's decode buffers through glibc (which the two knobs above
-# make retention-friendly) and back arenas with transparent hugepages
-# (glibc 2.35+ tunable → MADV_HUGEPAGE; THP is madvise-mode here).
-# Rationale: /proc/stat during 32-way runs shows 60-80% SYSTEM time +
-# 20-35% hypervisor steal — the workload drowns in page faults and TLB
-# shootdown IPIs, which virtualization amplifies (an IPI stalls until
-# the target vCPU is scheduled).  Hugepages cut fault/TLB volume ~512×;
-# the system pool stops jemalloc's map/unmap churn.  Interleaved A/B at
-# 32 CPUs, compute profile: 14.9→11.1 s and 33.7→20.2 s (1.3-1.7×, the
-# gap widening exactly when the host is loaded).  Workers inherit these
-# at spawn; the driver process itself keeps its already-loaded
-# allocator, which is fine — hot work happens in workers.
+# make retention-friendly): stops jemalloc's map/unmap churn — /proc/stat
+# during 32-way runs shows 60-80% SYSTEM time + 20-35% hypervisor steal
+# (page faults + TLB-shootdown IPIs, which virtualization amplifies).
+# Same-phase A/B at 32 CPUs, sf0.1 default profile: 10.7 s (jemalloc) →
+# 4.2 s (system pool + headroom).  Workers inherit this at spawn; the
+# driver process keeps its already-loaded allocator, which is fine —
+# hot work happens in workers.
+# NOTE: GLIBC_TUNABLES=glibc.malloc.hugetlb=1 was tried and REVERTED:
+# with THP defrag=madvise, MADV_HUGEPAGE arenas trigger synchronous
+# direct compaction on this fragmented host — measured 4.2 s → 20-24 s
+# (5×!) on the same corpus, and it had silently contaminated a round of
+# scaling measurements (BASELINE.md round-3 record).
 os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
-os.environ.setdefault("GLIBC_TUNABLES", "glibc.malloc.hugetlb=1")
 
 
 def _sf_from_dir(sf_dir: str) -> float:
