@@ -53,9 +53,11 @@ PLAN_FINGERPRINT = "span-plan-v1"  # bump when compiled constraints change
 _WORKER_VALIDATORS: dict = {}
 
 
-def _apply_cpu_headroom(frac: float = 0.75, threshold: int = 16) -> None:
+def _apply_cpu_headroom(frac: float = 0.75, threshold: int = 16):
     """Cap Ray Data execution CPU below the advertised core count on wide
-    sessions (≥ ``threshold`` CPUs → use ``frac`` of them).
+    sessions (≥ ``threshold`` CPUs → use ``frac`` of them).  Returns a
+    restore callable so the caller can scope the cap to its own run (the
+    DataContext is process-global).
 
     Rationale (measured, see BASELINE.md round 3): on an overcommitted /
     virtualized host, claiming every vCPU creates a STEAL CONVOY — a
@@ -72,21 +74,31 @@ def _apply_cpu_headroom(frac: float = 0.75, threshold: int = 16) -> None:
     if frac_env is not None:
         f = float(frac_env)
         if f <= 0:
-            return
+            return _noop_restore
         frac = f
     import ray
 
     try:
         n = int(ray.cluster_resources().get("CPU", 0))
     except Exception:
-        return
+        return _noop_restore
     if n < threshold:
-        return
+        return _noop_restore
     from ray.data import DataContext
     from ray.data._internal.execution.interfaces import ExecutionResources
 
     opts = DataContext.get_current().execution_options
+    prev = opts.resource_limits
     opts.resource_limits = ExecutionResources(cpu=max(threshold - 1, int(n * frac)))
+
+    def restore() -> None:
+        opts.resource_limits = prev
+
+    return restore
+
+
+def _noop_restore() -> None:
+    return None
 
 
 def _task_validator(catalog_ref, viol_dir: str | None = None, extended: bool = False):
@@ -172,7 +184,9 @@ def run_validation(
     t0 = time.time()
     timings: dict[str, float] = {}
 
-    _apply_cpu_headroom()
+    # scoped: restored at each return (on exception the cap persists for
+    # the process — harmless, it is a performance knob, not a semantic one)
+    _restore_headroom = _apply_cpu_headroom()
 
     from ..sources.reader import is_lance_dataset, read_auto
 
@@ -210,6 +224,7 @@ def run_validation(
         # flip to all_pass just because nothing was re-scanned
         dup_prev = int(manifest.dataset_metrics().get("n_dup_doc_ids", 0)) if manifest else 0
         verdicts = _load_verdicts_from_manifest(manifest, dup_prev)
+        _restore_headroom()
         return ValidationReport(verdicts, viol_root, 0, skipped_partitions=skipped, timings=timings)
 
     all_files = [f for files in todo.values() for f in files]
@@ -531,6 +546,7 @@ def run_validation(
     timings["write"] = time.time() - t
     timings["total"] = time.time() - t0
 
+    _restore_headroom()
     return ValidationReport(
         verdicts, viol_root, n_viol, profile, drift, skipped, timings
     )
