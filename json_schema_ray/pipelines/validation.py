@@ -84,8 +84,7 @@ def _apply_cpu_headroom(frac: float = 0.75, threshold: int = 16):
         return _noop_restore
     if n < threshold:
         return _noop_restore
-    from ray.data import DataContext
-    from ray.data._internal.execution.interfaces import ExecutionResources
+    from ray.data import DataContext, ExecutionResources
 
     opts = DataContext.get_current().execution_options
     prev = opts.resource_limits
