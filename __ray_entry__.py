@@ -560,10 +560,33 @@ def q_session_windows(sf_dir: str) -> pa.Table:
 
 
 def q_hll_cardinality(sf_dir: str) -> pa.Table:
+    """Self-checked (like `ivf_ann`): the HLL estimate rides next to the
+    exact distinct count of the same column plus a within-bounds verdict
+    (p=12 registers → ~1.04/√2¹² ≈ 1.6 % standard error; 5σ gate), so
+    the driver's rows-only record still captures an accuracy failure."""
+    import duckdb
+
     from json_schema_ray.stages.stats import column_stats
 
     t = column_stats(_read(sf_dir, "documents", ["doc_id", "source"]), ["doc_id", "source"], with_hll=True)
-    return t.select(["column", "approx_distinct"])
+    t = t.select(["column", "approx_distinct"])
+    exact = {
+        r[0]: r[1]
+        for r in duckdb.connect().execute(
+            "SELECT 'doc_id', count(DISTINCT doc_id) FROM read_parquet(?) "
+            "UNION ALL SELECT 'source', count(DISTINCT source) FROM read_parquet(?)",
+            [os.path.join(sf_dir, "documents.parquet")] * 2,
+        ).fetchall()
+    }
+    ex = pa.array([exact[c] for c in t["column"].to_pylist()], type=pa.int64())
+    est = t["approx_distinct"].to_numpy(zero_copy_only=False).astype(float)
+    rel_err = np.abs(est - ex.to_numpy(zero_copy_only=False)) / np.maximum(
+        ex.to_numpy(zero_copy_only=False), 1
+    )
+    ok = rel_err <= 5 * 0.016
+    t = t.append_column("exact_distinct", ex)
+    t = t.append_column("rel_err", pa.array(np.round(rel_err, 5), type=pa.float64()))
+    return t.append_column("within_bounds", pa.array(ok))
 
 
 def q_minhash_near_dup(sf_dir: str) -> pa.Table:
