@@ -941,14 +941,19 @@ def q_drift(sf_dir: str) -> pa.Table:
     base = TDigest().add_values(vals)
     same = TDigest().add_values(vals + np.random.RandomState(0).normal(0, 1e-9, len(vals)))
     shifted = TDigest().add_values(vals * 1.5)
+    ks = [round(ks_statistic(base, same), 4), round(ks_statistic(base, shifted), 4)]
+    # self-checked planted truth: `drifted` is DERIVED from the measured
+    # KS (threshold 0.05), `verdict_ok` asserts it matches the planted
+    # ground truth — a detection failure flips the row hash.
+    planted = [False, True]
+    drifted = [k > 0.05 for k in ks]
     return pa.table(
         {
             "case": ["same", "shifted"],
-            "ks": pa.array(
-                [round(ks_statistic(base, same), 4), round(ks_statistic(base, shifted), 4)], type=pa.float64()
-            ),
+            "ks": pa.array(ks, type=pa.float64()),
             "psi": pa.array([round(psi(base, same), 4), round(psi(base, shifted), 4)], type=pa.float64()),
-            "drifted": pa.array([False, True]),
+            "drifted": pa.array(drifted),
+            "verdict_ok": pa.array([d == p for d, p in zip(drifted, planted)]),
         }
     )
 
