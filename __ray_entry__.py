@@ -590,9 +590,22 @@ def q_hll_cardinality(sf_dir: str) -> pa.Table:
 
 
 def q_minhash_near_dup(sf_dir: str) -> pa.Table:
-    from json_schema_ray.functions.dedup import minhash_lsh_candidates
+    """Self-checked: each LSH candidate pair carries its EXACT word
+    3-gram Jaccard (candidate-only fetch, `ngram_jaccard_verify`) and an
+    `est_ok` flag gating the MinHash estimate against the exact value
+    (±0.35 — b=16,r=8 signatures are coarse; the bound is generous but a
+    broken estimator, permutation bug, or banding error blows past it
+    and flips the row hash)."""
+    from json_schema_ray.functions.dedup import minhash_lsh_candidates, ngram_jaccard_verify
 
-    return minhash_lsh_candidates(_read(sf_dir, "documents", ["doc_id", "text"]), concurrency=2)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_lsh_candidates(ds, concurrency=2)
+    verified = ngram_jaccard_verify(ds, pairs)
+    err = np.abs(
+        verified["est_jaccard"].to_numpy(zero_copy_only=False)
+        - verified["jaccard"].to_numpy(zero_copy_only=False)
+    )
+    return verified.append_column("est_ok", pa.array(err <= 0.35))
 
 
 def q_simhash_near_dup(sf_dir: str) -> pa.Table:
