@@ -946,6 +946,68 @@ def q_media_video(sf_dir: str) -> pa.Table:
     )
 
 
+def q_pii_redact(sf_dir: str) -> pa.Table:
+    """PII scrub over the documents table.  The corpus is word-soup with
+    no organic PII, so deterministic PII is PLANTED per row (keyed on
+    doc_id % 3 — the same expression the oracle SQL applies to the same
+    view), then redacted with the RE2 patterns `functions/text.PII_PATTERNS`
+    — DuckDB's regexp engine is also RE2, so Ray and oracle run literally
+    the same regex semantics."""
+    from json_schema_ray.functions.text import redact_pii
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant_and_redact(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mod = ids % 3
+        sfx = np.where(
+            mod == 0,
+            np.char.add(np.char.add(" reach user", ids.astype(str)), "@example.com now"),
+            np.where(mod == 1, " call 555-123-4567 today", " server at 10.0.0.42 up"),
+        )
+        planted = pc.binary_join_element_wise(
+            batch["text"].fill_null(""), pa.array(sfx.astype(object), type=pa.string()), ""
+        )
+        red = redact_pii(pa.table({"doc_id": batch["doc_id"], "text": planted}))
+        return pa.table(
+            {
+                "n_email": pa.array([int(pc.sum(red["n_email"]).as_py() or 0)], type=pa.int64()),
+                "n_phone": pa.array([int(pc.sum(red["n_phone"]).as_py() or 0)], type=pa.int64()),
+                "n_ipv4": pa.array([int(pc.sum(red["n_ipv4"]).as_py() or 0)], type=pa.int64()),
+                "n_markers": pa.array(
+                    [int(pc.sum(pc.count_substring(red["redacted"], "[")).as_py() or 0)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    df = ds.map_batches(plant_and_redact, batch_format="pyarrow").to_pandas()
+    return pa.table({c: pa.array([int(df[c].sum())], type=pa.int64()) for c in df.columns})
+
+
+def q_repetition(sf_dir: str) -> pa.Table:
+    """Gopher-style repetition signals (dup-word fraction, top-2-gram
+    fraction), top 20 most repetitive docs — deterministic tie-break on
+    doc_id; values rounded after selection, mirroring the SQL."""
+    from json_schema_ray.functions.text import add_repetition_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = (
+        ds.map_batches(
+            lambda b: add_repetition_stats(b).select(
+                ["doc_id", "dup_word_frac", "top_2gram_frac"]
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(key=["dup_word_frac", "doc_id"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    out["dup_word_frac"] = out["dup_word_frac"].round(4)
+    out["top_2gram_frac"] = out["top_2gram_frac"].round(4)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_drift(sf_dir: str) -> pa.Table:
     """t-digest drift: events.value first half (baseline) vs scaled copy."""
     from json_schema_ray.state.tdigest import TDigest, ks_statistic, psi
@@ -1010,6 +1072,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": q_media_decode,
         "media_audio": q_media_audio,
         "media_video": q_media_video,
+        "pii_redact": q_pii_redact,
+        "repetition": q_repetition,
         "drift": q_drift,
     }
 
@@ -1173,6 +1237,54 @@ def oracle_sql() -> dict[str, str]:
                                     OR TRY_CAST(json_extract(props, '$.k') AS INTEGER) IS NULL
                                     OR TRY_CAST(json_extract(props, '$.k') AS INTEGER) NOT BETWEEN 0 AND 49)
             FROM events
+        """,
+        "pii_redact": r"""
+            WITH planted AS (
+              SELECT coalesce(text, '') || CASE CAST(doc_id % 3 AS INT)
+                  WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  WHEN 1 THEN ' call 555-123-4567 today'
+                  ELSE ' server at 10.0.0.42 up' END AS t
+              FROM documents
+            ), red AS (
+              SELECT t,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                    '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '[PHONE]', 'g'),
+                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS r
+              FROM planted
+            )
+            SELECT
+              CAST(sum(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_email,
+              CAST(sum(len(regexp_extract_all(t, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))) AS BIGINT) AS n_phone,
+              CAST(sum(len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))) AS BIGINT) AS n_ipv4,
+              CAST(sum(len(regexp_extract_all(r, '\['))) AS BIGINT) AS n_markers
+            FROM red
+        """,
+        "repetition": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(coalesce(text, ''), ' ')) AS w,
+                     generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos
+              FROM documents
+            ), per AS (
+              SELECT doc_id, 1.0 - count(DISTINCT w) * 1.0 / count(*) AS dup_word_frac
+              FROM words GROUP BY doc_id
+            ), grams AS (
+              SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+              FROM words
+              QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+            ), gc AS (
+              SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+            ), tg AS (
+              SELECT doc_id, max(c) * 1.0 / sum(c) AS top_2gram_frac FROM gc GROUP BY doc_id
+            )
+            SELECT p.doc_id,
+                   round(p.dup_word_frac, 4) AS dup_word_frac,
+                   round(coalesce(t.top_2gram_frac, 0), 4) AS top_2gram_frac
+            FROM per p LEFT JOIN tg t USING (doc_id)
+            ORDER BY p.dup_word_frac DESC, p.doc_id
+            LIMIT 20
         """,
         "quality": """
             WITH q AS (

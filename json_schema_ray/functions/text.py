@@ -245,6 +245,104 @@ def add_winnow_fingerprints(
     return batch.append_column("winnow", col)
 
 
+# (kind, RE2 pattern, replacement) — ordered: emails first so an address's
+# host part is never half-eaten by the IP rule.  RE2 semantics on BOTH
+# engines that run these (Arrow here, DuckDB in the oracle SQL).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "[PHONE]"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Redact emails / phone numbers / IPv4s from ``text_col`` (global
+    replace, vectorized RE2) and append per-kind match-count columns
+    (``n_email``/``n_phone``/``n_ipv4``) plus the ``redacted`` text —
+    the standard pre-training PII scrub stage."""
+    t = batch[text_col].fill_null("")
+    out = batch
+    for kind, pat, _ in PII_PATTERNS:
+        out = out.append_column(
+            f"n_{kind}", pc.cast(pc.count_substring_regex(t, pat), pa.int64())
+        )
+    red = t
+    for _, pat, repl in PII_PATTERNS:
+        red = pc.replace_substring_regex(red, pat, repl)
+    return out.append_column("redacted", red)
+
+
+def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document, fully vectorized:
+
+    - ``dup_word_frac`` = 1 − unique_words / total_words
+    - ``top_2gram_frac`` = occurrences of the most frequent word 2-gram
+      / total 2-grams (0 when the doc has < 2 words)
+
+    High values flag boilerplate / degenerate generations (Gopher §A1.1,
+    Rae et al. 2021 — public quality-filter heuristics).  One dictionary
+    encode + two lexsorts over the flattened word stream; no Python rows.
+    """
+    words = pc.split_pattern(batch[text_col].fill_null(""), " ")
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    n_docs = len(words)
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = offs[0]
+    offs = offs - lo
+    lens = np.diff(offs)
+    flat = words.values.slice(lo, int(offs[-1]))
+    codes_arr = pc.dictionary_encode(flat)
+    codes_arr = codes_arr.combine_chunks() if isinstance(codes_arr, pa.ChunkedArray) else codes_arr
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+
+    # unique words per doc: one lexsort, count (doc, code) change points
+    if len(codes):
+        order = np.lexsort((codes, doc_of))
+        d, c = doc_of[order], codes[order]
+        new = np.empty(len(d), dtype=bool)
+        new[0] = True
+        new[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+        uniq = np.bincount(d[new], minlength=n_docs)
+    else:
+        uniq = np.zeros(n_docs, dtype=np.int64)
+    total = np.maximum(lens, 1)
+    dup_frac = 1.0 - uniq / total
+    dup_frac[lens == 0] = 0.0
+
+    # top 2-gram per doc: encode adjacent code pairs, run-length count,
+    # per-doc max via reduceat over doc segment starts in the run array
+    top_frac = np.zeros(n_docs, dtype=np.float64)
+    if len(codes) > 1:
+        K = np.int64(len(codes_arr.dictionary) + 1)
+        same = doc_of[1:] == doc_of[:-1]
+        pair = codes[:-1] * K + codes[1:]
+        pd_, pp = doc_of[:-1][same], pair[same]
+        if len(pp):
+            order = np.lexsort((pp, pd_))
+            d, p = pd_[order], pp[order]
+            run_start = np.empty(len(d), dtype=bool)
+            run_start[0] = True
+            run_start[1:] = (d[1:] != d[:-1]) | (p[1:] != p[:-1])
+            starts = np.flatnonzero(run_start)
+            run_len = np.diff(np.append(starts, len(d)))
+            run_doc = d[starts]
+            doc_start = np.empty(len(run_doc), dtype=bool)
+            doc_start[0] = True
+            doc_start[1:] = run_doc[1:] != run_doc[:-1]
+            seg = np.flatnonzero(doc_start)
+            maxes = np.maximum.reduceat(run_len, seg)
+            n2 = np.bincount(run_doc, weights=run_len, minlength=n_docs)
+            present = run_doc[doc_start]
+            top = np.zeros(n_docs, dtype=np.float64)
+            top[present] = maxes
+            with np.errstate(invalid="ignore", divide="ignore"):
+                top_frac = np.where(n2 > 0, top / np.maximum(n2, 1), 0.0)
+
+    out = batch.append_column("dup_word_frac", pa.array(dup_frac, type=pa.float64()))
+    return out.append_column("top_2gram_frac", pa.array(top_frac, type=pa.float64()))
+
+
 def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic 64-bit content fingerprint of the normalized text
     (lowercased, whitespace-collapsed) — the exact-dedup key.  Uses
