@@ -213,6 +213,14 @@ def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
         em.q_distinct_exact(sf_dir)
         queries["distinct_exact"] = round(time.time() - t, 3)
 
+        t = time.time()
+        em.q_repetition(sf_dir)
+        queries["repetition"] = round(time.time() - t, 3)
+
+        t = time.time()
+        em.q_pii_redact(sf_dir)
+        queries["pii_redact"] = round(time.time() - t, 3)
+
         # dynamic path (compile-once, validate-many over a JSON column) —
         # the reference's core Schema.apply workload
         t = time.time()
