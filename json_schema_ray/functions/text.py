@@ -155,11 +155,6 @@ def add_winnow_fingerprints(
     if N < k:
         return batch.append_column("winnow", empty)
 
-    # gram at position p belongs to doc d iff [p, p+k) ⊆ [offs[d], offs[d+1]).
-    # One byte→doc int32 map via repeat serves both the doc id and the
-    # containment test (no N-element arange + binary search)
-    byte_doc = np.repeat(np.arange(n_docs, dtype=np.int32), np.diff(offs))
-
     # CACHE-BLOCKED core: the rolling hash + log-doubling window-min are
     # multi-pass streams over 8×-expanded uint64 temporaries — run
     # monolithically they stream DRAM on every pass, which both caps
@@ -177,10 +172,19 @@ def add_winnow_fingerprints(
     d_parts: list[np.ndarray] = []
     v_parts: list[np.ndarray] = []
     start = 0
+    # doc-of-byte maps are built PER CHUNK (repeat over the chunk's doc
+    # slice found by two binary searches) instead of materializing one
+    # N×4-byte map — a full extra write+read stream the throttled-
+    # bandwidth probe in BASELINE.md showed is exactly what hurts at
+    # fleet concurrency.  Gram at position p belongs to doc d iff
+    # [p, p+k) ⊆ [offs[d], offs[d+1]).
     while start < N:
         end = min(N, start + chunk)
         seg = data[start:end]
-        bd = byte_doc[start:end]
+        d0 = int(np.searchsorted(offs, start, side="right")) - 1
+        d1 = int(np.searchsorted(offs, end, side="left"))
+        seg_lens = np.diff(np.clip(offs[d0 : d1 + 1], start, end))
+        bd = np.repeat(np.arange(d0, d1, dtype=np.int32), seg_lens)
         n = len(seg)
         if n >= k:
             H = seg[: n - k + 1].astype(np.uint64)
