@@ -1008,6 +1008,31 @@ def q_repetition(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination (GPT-3 §4 / Llama procedure): flag
+    training docs sharing any word 13-gram with a held-out benchmark.
+    The benchmark is carved from the same table (doc_id % 50 == 0 — the
+    expression the oracle SQL applies to the same view); its distinct
+    grams are the broadcast small side, matching is one `pc.is_in` per
+    batch — no shuffle.  The word-soup corpus's planted near-dups supply
+    genuine contamination."""
+    import ray
+
+    from json_schema_ray.functions.text import doc_word_ngrams, find_contaminated
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    bench_mask = pa.array(docs["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0)
+    bench_grams = doc_word_ngrams(docs.filter(bench_mask), n=13)[0].unique()
+    out = (
+        find_contaminated(_read(sf_dir, "documents", ["doc_id", "text"]), bench_grams, n=13)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    out = out[out["doc_id"] % 50 != 0]  # the benchmark itself is not "contaminated"
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def q_drift(sf_dir: str) -> pa.Table:
     """t-digest drift: events.value first half (baseline) vs scaled copy."""
     from json_schema_ray.state.tdigest import TDigest, ks_statistic, psi
@@ -1074,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_video": q_media_video,
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
+        "decontaminate": q_decontaminate,
         "drift": q_drift,
     }
 
@@ -1285,6 +1311,34 @@ def oracle_sql() -> dict[str, str]:
             FROM per p LEFT JOIN tg t USING (doc_id)
             ORDER BY p.dup_word_frac DESC, p.doc_id
             LIMIT 20
+        """,
+        "decontaminate": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(string_split(coalesce(text, ''), ' ')) AS w,
+                     generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     w
+                     || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                     || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                     || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+                     || ' ' || lead(w, 7) OVER win || ' ' || lead(w, 8) OVER win
+                     || ' ' || lead(w, 9) OVER win || ' ' || lead(w, 10) OVER win
+                     || ' ' || lead(w, 11) OVER win || ' ' || lead(w, 12) OVER win
+                     AS gram
+              FROM words
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+              QUALIFY lead(w, 12) OVER win IS NOT NULL
+            ), bench AS (
+              SELECT DISTINCT gram FROM g WHERE CAST(doc_id % 50 AS INT) = 0
+            )
+            SELECT g.doc_id, count(DISTINCT g.gram) AS n_matched
+            FROM g JOIN bench USING (gram)
+            WHERE CAST(g.doc_id % 50 AS INT) <> 0
+            GROUP BY g.doc_id
+            ORDER BY g.doc_id
         """,
         "quality": """
             WITH q AS (

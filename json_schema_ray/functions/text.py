@@ -249,6 +249,85 @@ def add_winnow_fingerprints(
     return batch.append_column("winnow", col)
 
 
+def doc_word_ngrams(batch: pa.Table, n: int = 13, text_col: str = "text"):
+    """Word ``n``-grams per document (space-joined strings), flat:
+    returns ``(grams: pa.Array, doc_idx: np.ndarray)`` where gram i
+    belongs to row ``doc_idx[i]``.  Vectorized: one split + n zero-copy
+    slices joined element-wise; grams never cross document boundaries."""
+    words = pc.split_pattern(batch[text_col].fill_null(""), " ")
+    words = words.combine_chunks() if isinstance(words, pa.ChunkedArray) else words
+    n_docs = len(words)
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lo = offs[0]
+    offs = offs - lo
+    lens = np.diff(offs)
+    flat = words.values.slice(lo, int(offs[-1]))
+    M = len(flat) - (n - 1)
+    if M <= 0:
+        return pa.array([], type=pa.string()), np.zeros(0, dtype=np.int64)
+    parts = [flat.slice(j, M) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    in_doc = doc_of[:M] == doc_of[n - 1 :]
+    keep = pa.array(in_doc)
+    return grams.filter(keep), doc_of[:M][in_doc]
+
+
+def find_contaminated(
+    ds,
+    benchmark_grams,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Benchmark decontamination (the GPT-3 / Llama procedure): flag
+    training documents sharing any word ``n``-gram with a held-out
+    benchmark set.  ``benchmark_grams`` is the benchmark's distinct-gram
+    Arrow array — the SMALL side, broadcast once via ``ray.put`` and read
+    per worker; each batch matches its grams with one ``pc.is_in`` (no
+    shuffle, no join).  Returns (id, n_matched) for contaminated docs,
+    ``n_matched`` = DISTINCT matched grams per doc."""
+    import ray
+
+    bench_ref = (
+        benchmark_grams
+        if isinstance(benchmark_grams, ray.ObjectRef)
+        else ray.put(benchmark_grams)
+    )
+
+    def match(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        grams, doc_of = doc_word_ngrams(batch, n=n, text_col=text_col)
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=batch.schema.field(id_col).type),
+                "n_matched": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(grams) == 0:
+            return empty
+        hit = pc.is_in(grams, value_set=bench)
+        hit_np = hit.fill_null(False).to_numpy(zero_copy_only=False)
+        if not hit_np.any():
+            return empty
+        # matched set is tiny: dedup (doc, gram) pairs, count per doc
+        import pandas as pd
+
+        mdf = pd.DataFrame(
+            {"d": doc_of[hit_np], "g": grams.filter(hit).to_pylist()}
+        ).drop_duplicates()
+        cnt = mdf.groupby("d").size()
+        ids = batch[id_col].take(pa.array(cnt.index.to_numpy()))
+        return pa.table(
+            {
+                id_col: ids,
+                "n_matched": pa.array(cnt.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
 # (kind, RE2 pattern, replacement) — ordered: emails first so an address's
 # host part is never half-eaten by the IP rule.  RE2 semantics on BOTH
 # engines that run these (Arrow here, DuckDB in the oracle SQL).

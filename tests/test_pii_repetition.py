@@ -81,3 +81,35 @@ def test_redact_pii_kinds_and_order():
     assert out["redacted"][1] == "servers [IP] and [IP]"
     assert out["redacted"][4] == "ping a@[IP] now"
     assert out["redacted"][3] is None or out["redacted"][3] == ""
+
+
+def test_decontamination_planted(ray_session):
+    """Planted 13-gram overlap: doc t1 embeds a benchmark sentence
+    verbatim (>=13 shared words), t2 is clean, t3 shares only 12 words
+    (below the n-gram threshold -> NOT flagged)."""
+    import numpy as np
+    import ray.data as rd
+
+    from json_schema_ray.functions.text import doc_word_ngrams, find_contaminated
+
+    bench_sent = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi"
+    bench = pa.table({"doc_id": [0], "text": [bench_sent]})
+    grams = doc_word_ngrams(bench, n=13)[0].unique()
+    assert len(grams) == 2  # 14 words -> two 13-grams
+
+    twelve = " ".join(bench_sent.split()[:12])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "prefix words then " + bench_sent + " and a suffix",
+                    "completely different content with no overlap at all whatsoever here",
+                    "leading bits " + twelve + " trailing bits",
+                ],
+            }
+        )
+    )
+    out = find_contaminated(ds, grams, n=13).to_pandas().sort_values("doc_id")
+    assert list(out["doc_id"]) == [1]
+    assert int(out["n_matched"].iloc[0]) == 2  # both benchmark grams present
