@@ -1008,6 +1008,47 @@ def q_repetition(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_source_mix(sf_dir: str) -> pa.Table:
+    """Deterministic per-source subsampling (data-mixing weights): keep a
+    doc iff Knuth-hash(doc_id) falls under its source's quota — stateless,
+    shuffle-free, reproducible on any engine (the SQL mirror applies the
+    identical integer arithmetic).  Returns per-source kept/total counts."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    RATES = {"src0": 0.5, "src1": 1.0, "src2": 0.25}  # default 0.1
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        rates = np.full(len(batch), 0.1)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        for s, r in RATES.items():
+            rates[src == s] = r
+        keep = h < (rates * float(1 << 32)).astype(np.uint64)
+        return pa.table({"source": batch["source"], "kept": pa.array(keep)})
+
+    out = (
+        ds.map_batches(sample, batch_format="pyarrow")
+        .groupby(["source", "kept"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    piv = out.pivot_table(index="source", columns="kept", values="n", fill_value=0, aggfunc="sum")
+    kept = piv.get(True, 0)
+    total = piv.sum(axis=1)
+    res = (
+        pd.DataFrame({"source": piv.index, "n_total": total.values, "n_kept": kept if np.isscalar(kept) else kept.values})
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    res["n_total"] = res["n_total"].astype("int64")
+    res["n_kept"] = res["n_kept"].astype("int64")
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
 def q_decontaminate(sf_dir: str) -> pa.Table:
     """Benchmark decontamination (GPT-3 §4 / Llama procedure): flag
     training docs sharing any word 13-gram with a held-out benchmark.
@@ -1100,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
         "decontaminate": q_decontaminate,
+        "source_mix": q_source_mix,
         "drift": q_drift,
     }
 
@@ -1311,6 +1353,18 @@ def oracle_sql() -> dict[str, str]:
             FROM per p LEFT JOIN tg t USING (doc_id)
             ORDER BY p.dup_word_frac DESC, p.doc_id
             LIMIT 20
+        """,
+        "source_mix": """
+            SELECT source,
+                   count(*) AS n_total,
+                   count(*) FILTER (
+                     (CAST(doc_id AS UBIGINT) * 2654435761) % 4294967296
+                     < CAST((CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 1.0
+                             WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 4294967296 AS UBIGINT)
+                   ) AS n_kept
+            FROM documents
+            GROUP BY source
+            ORDER BY source
         """,
         "decontaminate": """
             WITH words AS (
