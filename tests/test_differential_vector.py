@@ -113,7 +113,17 @@ def _struct_schema(rng):
     if rng.random() < 0.5:
         sch["required"] = rng.sample(["p", "q"], rng.randint(1, 2))
     if rng.random() < 0.3:
-        sch["additionalProperties"] = rng.choice([True, False])
+        r = rng.random()
+        if r < 0.5:
+            sch["additionalProperties"] = rng.choice([True, False])
+        else:
+            sch["additionalProperties"] = _num_schema(rng, True)  # schema form
+    if rng.random() < 0.25:
+        sch["patternProperties"] = {
+            rng.choice([r"^p", r"^[pq]$", r"q$"]): rng.choice(
+                [_num_schema(rng, True), _str_schema(rng)]
+            )
+        }
     if rng.random() < 0.3:
         sch["minProperties"] = rng.randint(0, 2)
     if rng.random() < 0.25:
