@@ -102,3 +102,25 @@ def test_sample_video_spans_e2e(ray_session):
     assert len(out) > 0
     assert (out["decode_path"] == "stdlib").all()  # every clip real-decoded
     assert out.groupby("media_ref").size().max() <= 3
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    n_frames=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    fps=st.sampled_from([1.0, 10.0, 23.976, 60.0]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_jrvf_roundtrip_property(n_frames, w, h, fps, seed):
+    rs = np.random.RandomState(seed)
+    frames = [rs.randint(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n_frames)]
+    payload = encode_jrvf(frames, fps=fps)
+    got_fps, offs = jrvf_index(payload)
+    assert got_fps == fps and len(offs) == n_frames + 1
+    for i, f in enumerate(frames):
+        np.testing.assert_array_equal(decode_jrvf_frame(payload, offs, i), f)
