@@ -1008,6 +1008,90 @@ def q_repetition(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-style pricing summary.  Money in EXACT integer units
+    (cents / basis-point products) so distributed partial sums are
+    associative and hash-match the SQL bit-for-bit — never round a
+    float sum whose addend order differs between engines."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(
+            batch["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"), type=pa.timestamp("us"))
+        )
+        b = batch.filter(keep)
+        price_e2 = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        disc_e2 = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        qty = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        disc_price_e4 = pc.multiply(price_e2, pc.subtract(pa.scalar(100, type=pa.int64()), disc_e2))
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": qty,
+                "price_e2": price_e2,
+                "disc_price_e4": disc_price_e4,
+            }
+        )
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_e2", alias_name="sum_base_e2"),
+            Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
+            Count(alias_name="n_items"),
+        )
+        .to_pandas()
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
+    )
+    for c in ("sum_qty", "sum_base_e2", "sum_disc_price_e4", "n_items"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_order_revenue_join(sf_dir: str) -> pa.Table:
+    """Large-to-large equi-join via Ray Data's native hash join
+    (`Dataset.join` — both sides hash-partitioned on the key, no
+    broadcast): lineitem ⋈ orders on orderkey → revenue per order
+    priority, in exact integer units like q_pricing_summary."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        price_e2 = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())
+        disc_e2 = pc.cast(pc.round(pc.multiply(batch["l_discount"], 100.0)), pa.int64())
+        rev_e4 = pc.multiply(price_e2, pc.subtract(pa.scalar(100, type=pa.int64()), disc_e2))
+        return pa.table(
+            {"o_orderpriority": batch["o_orderpriority"], "revenue_e4": rev_e4}
+        )
+
+    out = (
+        joined.map_batches(rev, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue_e4", alias_name="revenue_e4"), Count(alias_name="n_items"))
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    out["revenue_e4"] = out["revenue_e4"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_source_mix(sf_dir: str) -> pa.Table:
     """Deterministic per-source subsampling (data-mixing weights): keep a
     doc iff Knuth-hash(doc_id) falls under its source's quota — stateless,
@@ -1142,6 +1226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "decontaminate": q_decontaminate,
         "source_mix": q_source_mix,
+        "pricing_summary": q_pricing_summary,
+        "order_revenue_join": q_order_revenue_join,
         "drift": q_drift,
     }
 
@@ -1353,6 +1439,27 @@ def oracle_sql() -> dict[str, str]:
             FROM per p LEFT JOIN tg t USING (doc_id)
             ORDER BY p.dup_word_frac DESC, p.doc_id
             LIMIT 20
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_e2,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "order_revenue_join": """
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
         """,
         "source_mix": """
             SELECT source,
