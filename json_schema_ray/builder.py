@@ -98,6 +98,18 @@ class ConstraintEngineBuilder:
         self._registry.aliases[identifier] = uri
         return self
 
+    def use_official_metaschemas(self) -> "ConstraintEngineBuilder":
+        """Pre-register the embedded official json-schema.org meta-schemas
+        (draft-07 / 2019-09 / 2020-12 + vocabulary resources) so ``$ref``s
+        to ``https://json-schema.org/draft/...`` URIs resolve without
+        network — the ``OriginalSpecResolver`` analog
+        (``js/loaders/OriginalSpecResolver.java:229-296``, embedded
+        ``dialects.zip``)."""
+        from .spec.official import register_official_metaschemas
+
+        register_official_metaschemas(self._registry)
+        return self
+
     def set_content_processing(self, mode: str) -> "ConstraintEngineBuilder":
         assert mode in ("disable", "default", "encoding", "encoding_and_schema")
         self._content = mode
