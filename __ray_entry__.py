@@ -1183,6 +1183,224 @@ def q_drift(sf_dir: str) -> pa.Table:
     )
 
 
+def q_topk_per_group(sf_dir: str) -> pa.Table:
+    """Group-wise top-k (the `row_number() OVER (PARTITION BY ...) <= k`
+    pattern; e.g. keep the k best documents per source by quality): a
+    per-batch partial top-k COMBINER shrinks each key to ≤k rows before
+    the exchange, then the hash-partitioned `groupby().map_groups` final
+    pass truncates — the shuffle moves at most k rows per key, never the
+    table."""
+    import pandas as pd
+
+    K = 2
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return (
+            batch.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+            .groupby("o_custkey", sort=False)
+            .head(K)
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(K)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(partial_topk, batch_format="pandas")
+        .groupby("o_custkey")
+        .map_groups(final_topk, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["o_custkey", "rk"])
+        .reset_index(drop=True)
+    )
+    out["o_custkey"] = out["o_custkey"].astype(np.int64)
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    return pa.Table.from_pandas(out[["o_custkey", "o_orderkey", "o_totalprice", "rk"]], preserve_index=False)
+
+
+def q_shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q3 shape: small dimension (filtered customers) broadcast into
+    a map-side semi-join on orders, then a large-to-large native hash join
+    lineitem ⋈ orders, revenue per (l_orderkey, o_orderdate) in exact e4
+    integer units, global sort + limit 10.  Exercises the composed plan:
+    broadcast join → hash join → groupby → sort/limit."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    CUT = pd.Timestamp("1996-06-30")
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = np.sort(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_numpy()
+    )
+    keys_ref = ray.put(keys)
+
+    class SemiJoin:
+        def __init__(self, ref):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.keys, ck)
+            idx[idx >= len(self.keys)] = 0
+            hit = self.keys[idx] == ck
+            early = pc.less(
+                batch["o_orderdate"], pa.scalar(CUT, type=pa.timestamp("us"))
+            ).to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(hit & early)).select(["o_orderkey", "o_orderdate"])
+
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(SemiJoin, fn_constructor_kwargs={"ref": keys_ref},
+                     batch_format="pyarrow", concurrency=(1, 2))
+    )
+
+    def late_rev(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.greater(batch["l_shipdate"], pa.scalar(CUT, type=pa.timestamp("us")))
+        )
+        price_e2 = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        disc_e2 = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev_e4 = pc.multiply(price_e2, pc.subtract(pa.scalar(100, type=pa.int64()), disc_e2))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev_e4": rev_e4})
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(late_rev, batch_format="pyarrow")
+
+    out = (
+        li.join(orders, join_type="inner", num_partitions=16,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+        .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+    return pa.Table.from_pandas(out[["l_orderkey", "o_orderdate", "revenue_e4"]], preserve_index=False)
+
+
+def q_histogram(sf_dir: str) -> pa.Table:
+    """Fixed-bin histogram: per-batch vectorized bin + partial counts
+    collapse each batch to ≤n_bins rows BEFORE the (tiny) final groupby —
+    the canonical no-shuffle profile aggregation for 100-TB columns."""
+    from ray.data.aggregate import Sum
+
+    WIDTH = 25_000.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bins = pc.cast(pc.floor(pc.divide(batch["o_totalprice"], WIDTH)), pa.int64())
+        t = pa.table({"bucket": bins})
+        g = pa.TableGroupBy(t, "bucket").aggregate([([], "count_all")])
+        return g.rename_columns(["bucket", "n_part"])
+
+    out = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_quantiles_by_group(sf_dir: str) -> pa.Table:
+    """Exact per-group quantiles (median / p90 with linear interpolation —
+    numpy 'linear' == SQL quantile_cont): hash-partitioned
+    groupby().map_groups, one sort per group.  Small groups sort in-memory;
+    a 100-TB column would swap this stage for the t-digest sketch path
+    (stages/drift.py) at a documented accuracy bound."""
+    import pandas as pd
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["n_chars"].to_numpy(dtype=np.float64)
+        med, p90 = np.percentile(x, [50.0, 90.0], method="linear")
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": [np.int64(len(x))],
+                "median_chars": [round(med, 4)],
+                "p90_chars": [round(p90, 4)],
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .groupby("source")
+        .map_groups(quants, batch_format="pandas")
+    )
+
+
+def q_vocab_score(sf_dir: str) -> pa.Table:
+    """Two-pass corpus-frequency scoring (the unigram-LM building block):
+    pass 1 builds the global token→count table with a distributed groupby;
+    pass 2 re-joins it to the exploded tokens via the native hash join —
+    NOT a broadcast, because a web-scale vocabulary doesn't fit one heap —
+    and re-aggregates per doc.  Scores are exact int64 sums (sum over a
+    doc's token occurrences of that token's corpus frequency), so the
+    distributed result hash-matches SQL bit-for-bit."""
+    from ray.data.aggregate import Count, Sum
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        ids = pc.take(batch["doc_id"], parents)
+        keep = pc.not_equal(flat, "")
+        return pa.table({"doc_id": ids, "token": flat}).filter(keep)
+
+    toks = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tokenize, batch_format="pyarrow"
+    )
+    counts = toks.groupby("token").aggregate(Count(alias_name="c"))
+    out = (
+        toks.join(counts, join_type="inner", num_partitions=16, on=("token",))
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_tokens"), Sum("c", alias_name="commonness"))
+        .sort(["commonness", "doc_id"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    for c in ("doc_id", "n_tokens", "commonness"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out[["doc_id", "n_tokens", "commonness"]], preserve_index=False)
+
+
+def q_cumsum_user(sf_dir: str) -> pa.Table:
+    """Ordered running aggregate (the `SUM(...) OVER (PARTITION BY ...
+    ORDER BY ...)` window): hash-partition by user, sort each group by
+    (ts, event_id), cumulative-sum in exact e4 integer units.  Partitioning
+    assumption: one user's history fits a worker (same contract as
+    sessionization/as-of); the exchange moves each row once."""
+    import pandas as pd
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v_e4 = np.round(g["value"].to_numpy(dtype=np.float64) * 1e4).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy(dtype=np.int64),
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "cum_value_e4": np.cumsum(v_e4),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -1229,6 +1447,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "order_revenue_join": q_order_revenue_join,
         "drift": q_drift,
+        "topk_per_group": q_topk_per_group,
+        "shipping_priority": q_shipping_priority,
+        "histogram": q_histogram,
+        "quantiles_by_group": q_quantiles_by_group,
+        "vocab_score": q_vocab_score,
+        "cumsum_user": q_cumsum_user,
     }
 
 
@@ -1544,5 +1768,61 @@ def oracle_sql() -> dict[str, str]:
                          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
                   FROM s)
             SELECT query_id, vec_id, rank FROM r WHERE rank <= 10
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders)
+            WHERE rk <= 2
+            ORDER BY o_custkey, rk
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1996-06-30 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_e4 DESC, l_orderkey
+            LIMIT 10
+        """,
+        "histogram": """
+            SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket, count(*) AS n
+            FROM orders GROUP BY bucket ORDER BY bucket
+        """,
+        "quantiles_by_group": """
+            SELECT source, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+            FROM documents GROUP BY source
+        """,
+        "vocab_score": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+              FROM documents
+            ), tok2 AS (
+              SELECT doc_id, token FROM tok WHERE token <> ''
+            ), cnt AS (
+              SELECT token, count(*) AS c FROM tok2 GROUP BY token
+            )
+            SELECT doc_id, count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS commonness
+            FROM tok2 JOIN cnt USING (token)
+            GROUP BY doc_id
+            ORDER BY commonness DESC, doc_id
+            LIMIT 10
+        """,
+        "cumsum_user": """
+            SELECT user_id, event_id,
+                   sum(CAST(round(value * 10000) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_value_e4
+            FROM events
         """,
     }
