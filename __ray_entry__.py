@@ -1401,6 +1401,113 @@ def q_cumsum_user(sf_dir: str) -> pa.Table:
     )
 
 
+def q_sequence_chunks(sf_dir: str) -> pa.Table:
+    """Fixed-length training-sequence chunking accounting: tokens per doc
+    (whitespace tokens, same kernel as token_stats), chunks of MAXLEN=128,
+    per-language chunk + padding totals.  Exact integers, fully
+    SQL-mirrorable; the per-batch partial collapses to ≤n_langs rows."""
+    from ray.data.aggregate import Sum
+
+    from json_schema_ray.functions.text import add_token_counts
+
+    MAXLEN = 128
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = add_token_counts(batch)
+        n = b["n_tokens"]
+        chunks = pc.cast(pc.ceil(pc.divide(pc.cast(n, pa.float64()), float(MAXLEN))), pa.int64())
+        pad = pc.subtract(pc.multiply(chunks, MAXLEN), n)
+        t = pa.table({"lang": b["lang"], "chunks": chunks, "pad": pad})
+        g = pa.TableGroupBy(t, "lang").aggregate(
+            [("chunks", "sum"), ("pad", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["lang", "n_chunks", "pad_tokens", "n_docs"])
+
+    out = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_chunks", alias_name="n_chunks"),
+            Sum("pad_tokens", alias_name="pad_tokens"),
+        )
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_chunks", "pad_tokens"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_sequence_pack(sf_dir: str) -> pa.Table:
+    """Greedy cross-doc sequence packing into capacity-2048 token bins —
+    the training-batch construction step.  Docs are hash-assigned to pack
+    groups by doc_id (NOT by Ray block, so the result is independent of
+    block boundaries / parallelism), each group packs in doc_id order via
+    functions.text.pack_greedy, and the verdict columns self-check the
+    invariants SQL can't express greedily: every doc packed exactly once,
+    no bin over capacity, token totals preserved."""
+    import pandas as pd
+
+    from json_schema_ray.functions.text import add_token_counts, pack_greedy
+
+    CAPACITY, N_GROUPS = 2048, 32
+
+    def counts(batch: pa.Table) -> pa.Table:
+        b = add_token_counts(batch)
+        grp = pc.cast(
+            pc.bit_wise_and(pc.multiply(batch["doc_id"], pa.scalar(2654435761, type=pa.int64())),
+                            pa.scalar(N_GROUPS - 1, type=pa.int64())),
+            pa.int64(),
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": b["n_tokens"], "grp": grp})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        lens = g["n_tokens"].to_numpy(dtype=np.int64)
+        bins = pack_greedy(lens, CAPACITY)
+        per_bin = np.bincount(bins, weights=lens).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "grp": [np.int64(g["grp"].iloc[0])],
+                "n_docs": [np.int64(len(g))],
+                "n_bins": [np.int64(bins[-1] + 1 if len(bins) else 0)],
+                "total_tokens": [np.int64(lens.sum())],
+                "max_bin_tokens": [np.int64(per_bin.max() if len(per_bin) else 0)],
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+    )
+    n_docs_in = int(_read(sf_dir, "documents", ["doc_id"]).count())
+    n_bins = int(parts["n_bins"].sum())
+    total = int(parts["total_tokens"].sum())
+    fill = round(total / (n_bins * CAPACITY), 4) if n_bins else 0.0
+    return pa.table(
+        {
+            "n_groups": pa.array([len(parts)], type=pa.int64()),
+            "n_docs": pa.array([int(parts["n_docs"].sum())], type=pa.int64()),
+            "n_bins": pa.array([n_bins], type=pa.int64()),
+            "total_tokens": pa.array([total], type=pa.int64()),
+            "fill_rate": pa.array([fill], type=pa.float64()),
+            "verdict_ok": pa.array(
+                [
+                    int(parts["n_docs"].sum()) == n_docs_in
+                    and int(parts["max_bin_tokens"].max()) <= CAPACITY
+                    and n_bins > 0
+                ]
+            ),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -1453,6 +1560,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_group": q_quantiles_by_group,
         "vocab_score": q_vocab_score,
         "cumsum_user": q_cumsum_user,
+        "sequence_chunks": q_sequence_chunks,
+        # rows-only, self-checked verdict columns
+        "sequence_pack": q_sequence_pack,
     }
 
 
@@ -1824,5 +1934,16 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS cum_value_e4
             FROM events
+        """,
+        "sequence_chunks": """
+            WITH t AS (
+              SELECT lang,
+                     len(regexp_extract_all(text, '\\S+'))::BIGINT AS n
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum((n + 127) // 128) AS BIGINT) AS n_chunks,
+                   CAST(sum(((n + 127) // 128) * 128 - n) AS BIGINT) AS pad_tokens
+            FROM t GROUP BY lang ORDER BY lang
         """,
     }

@@ -35,6 +35,35 @@ def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("n_bpe_tokens", pc.cast(bpe, pa.int64()))
 
 
+def pack_greedy(lens: np.ndarray, capacity: int) -> np.ndarray:
+    """Greedy in-order sequence packing (training-batch construction):
+    walk documents in the given order, open a new bin whenever the current
+    one would overflow ``capacity``; a document longer than ``capacity``
+    gets a bin of its own (real pipelines chunk it first).  Returns the
+    bin index per document.
+
+    The reset-cumsum is inherently sequential, so instead of a per-doc
+    Python loop this iterates once per BIN (≈ docs × mean_len / capacity —
+    30-60× fewer steps) using searchsorted over the prefix sums.
+    """
+    n = len(lens)
+    bins = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return bins
+    cs = np.cumsum(lens, dtype=np.int64)
+    start, b = 0, 0
+    while start < n:
+        base = cs[start - 1] if start > 0 else 0
+        # last doc that still fits together with everything since `start`
+        end = int(np.searchsorted(cs, base + capacity, side="right"))
+        if end == start:  # single doc longer than capacity: own bin
+            end = start + 1
+        bins[start:end] = b
+        b += 1
+        start = end
+    return bins
+
+
 def add_quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality features + composite score ∈ [0,1]:
     length, punctuation ratio, stopword ratio, mean word length."""
