@@ -221,6 +221,12 @@ def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
         em.q_pii_redact(sf_dir)
         queries["pii_redact"] = round(time.time() - t, 3)
 
+        # composed join plan: broadcast semi-join → native hash join →
+        # groupby → sort/limit over the 600k-row lineitem at sf0.1
+        t = time.time()
+        em.q_shipping_priority(sf_dir)
+        queries["shipping_priority"] = round(time.time() - t, 3)
+
         # dynamic path (compile-once, validate-many over a JSON column) —
         # the reference's core Schema.apply workload
         t = time.time()
