@@ -39,12 +39,26 @@ def _lance_reader(path: str, columns=None, **kwargs):
 
 
 def read_auto(path: str | list[str], columns=None, **kwargs):
-    """``read_lance`` when the path is a Lance dataset (and the package
-    imports), ``read_parquet`` otherwise.  Accepts a single path or a
-    list of parquet files (Lance autodetect applies to single paths
-    only — a Lance dataset is one rooted directory)."""
+    """Format-autodetecting read: ``read_lance`` when the path is a Lance
+    dataset (and the package imports); ``read_json`` for ``.jsonl`` /
+    ``.json`` / ``.ndjson`` (the reference's native instance format —
+    ``Schema.apply(jsonText)``, ``js/Schema.java:51-66`` — as
+    newline-delimited files); ``read_csv`` for ``.csv``;
+    ``read_parquet`` otherwise.  Accepts a single path or a list of
+    same-format files (Lance autodetect applies to single paths only —
+    a Lance dataset is one rooted directory).  ``columns`` prunes at the
+    scan for parquet/lance; JSONL/CSV must parse whole records, so the
+    projection applies right after the read there."""
     import ray.data as rd
 
     if isinstance(path, str) and is_lance_dataset(path):
         return _lance_reader(path, columns=columns, **kwargs)
+    probe = path if isinstance(path, str) else (path[0] if path else "")
+    ext = os.path.splitext(probe)[1].lower()
+    if ext in (".jsonl", ".json", ".ndjson"):
+        ds = rd.read_json(path, **kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
+    if ext == ".csv":
+        ds = rd.read_csv(path, **kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
     return rd.read_parquet(path, columns=columns, **kwargs)
