@@ -74,6 +74,20 @@ def _type_of(v: Any) -> str:
     return "object"
 
 
+# exact-builtin fast dispatch (JSON-parsed values are always these types);
+# subclasses / Decimal etc. fall back to the isinstance chain above
+_PYTYPE_NAME = {
+    type(None): "null",
+    bool: "boolean",
+    int: "number",
+    float: "number",
+    Fraction: "number",
+    str: "string",
+    list: "array",
+    dict: "object",
+}
+
+
 def _check_type(v: Any, t: str) -> bool:
     tv = _type_of(v)
     if t == "integer":
@@ -309,9 +323,31 @@ class DynamicCompiler:
         # ---- type / const / enum -------------------------------------
         if "type" in sch:
             ts = sch["type"] if isinstance(sch["type"], list) else [sch["type"]]
+            ts_set = frozenset(ts)
+            has_num = "number" in ts_set
+            has_int = "integer" in ts_set
 
-            def v_type(v, sc, ip, _ts=tuple(ts)):
-                if any(_check_type(v, t) for t in _ts):
+            def v_type(v, sc, ip, _ts=tuple(ts), _set=ts_set, _hn=has_num, _hi=has_int):
+                tv = _PYTYPE_NAME.get(type(v))
+                if tv is None:  # subclass / Decimal: exact slow path
+                    if any(_check_type(v, t) for t in _ts):
+                        return _OK
+                elif tv == "number":
+                    if _hn:
+                        return _OK
+                    # integer = number with zero fractional part; float
+                    # repr-integrality == binary is_integer (non-integer
+                    # floats always repr with a fraction/neg exponent)
+                    if _hi:
+                        tvv = type(v)
+                        if tvv is int:
+                            return _OK
+                        if tvv is float:
+                            if v.is_integer():
+                                return _OK
+                        elif v.denominator == 1:  # Fraction
+                            return _OK
+                elif tv in _set:
                     return _OK
                 return _fail("TYPE", ip, "/type", json.dumps(v, default=str), "/".join(_ts))
 
@@ -344,9 +380,40 @@ class DynamicCompiler:
         ):
             if kw in sch and _is_num(sch[kw]):
                 bound = _frac(sch[kw])
+                raw = sch[kw]
+                # Fast path: native int/float comparisons are mathematically
+                # exact in CPython; they only diverge from the decimal-literal
+                # (BigDecimal) semantics of _frac when a float that does not
+                # round-trip decimally (|x| ≥ 2^53) meets an int/Fraction
+                # operand at the equality boundary (e.g. 1e23 vs 10^23).
+                # float-vs-float is always order-identical (repr is monotone),
+                # so: float value → native if bound is float or |v| < 2^53;
+                # int value → native if bound is int or a float < 2^53
+                # (decided at compile time).  Everything else (Fraction
+                # values from exact-number parse, huge mixed cases) takes the
+                # exact Fraction path.  ~25% of dynamic-path time was _frac.
+                _bound_is_float = type(raw) is float
+                _bound_is_int = type(raw) is int
+                _int_native_ok = _bound_is_int or (
+                    _bound_is_float and -9.007199254740992e15 < raw < 9.007199254740992e15
+                )
 
-                def v_num(v, sc, ip, _b=bound, _op=op, _e=err, _kw=kw, _raw=sch[kw]):
-                    if not _is_num(v) or _op(_frac(v), _b):
+                def v_num(v, sc, ip, _b=bound, _op=op, _e=err, _kw=kw, _raw=raw,
+                          _bf=_bound_is_float, _bi=_bound_is_int, _iok=_int_native_ok):
+                    tv = type(v)
+                    if tv is float:
+                        if _bf or (_bi and -9.007199254740992e15 < v < 9.007199254740992e15):
+                            if _op(v, _raw):
+                                return _OK
+                        elif _op(_frac(v), _b):
+                            return _OK
+                    elif tv is int:
+                        if _iok:
+                            if _op(v, _raw):
+                                return _OK
+                        elif _op(_frac(v), _b):
+                            return _OK
+                    elif not _is_num(v) or _op(_frac(v), _b):
                         return _OK
                     return _fail(_e, ip, "/" + _kw, str(v), str(_raw))
 

@@ -154,3 +154,41 @@ def test_zwnj_joining_type_regexp_branch():
     assert is_idna2008_hostname("क्‌क")
     # bare ZWNJ with no context stays rejected
     assert not is_idna2008_hostname("a‌b")
+
+
+# ---- numeric fast-path semantics (round 3: native compare fast path) -------
+
+
+def test_numeric_fastpath_decimal_literal_semantics():
+    """The native int/float comparison fast path must fall back to exact
+    decimal-literal (BigDecimal) semantics in the one corner where they
+    diverge: non-round-tripping floats (|x| >= 2^53) against int/Fraction
+    operands at the equality boundary."""
+    from fractions import Fraction
+
+    from json_schema_ray.kernels.dynamic import DynamicCompiler
+
+    def C(s):
+        return DynamicCompiler().compile(s)
+
+    # decimal repr of 1e23 is exactly 10^23 (binary is ...91611392)
+    assert C({"minimum": 10**23}).is_valid(1e23)
+    assert C({"maximum": 10**23}).is_valid(1e23)
+    assert not C({"exclusiveMinimum": 10**23}).is_valid(1e23)
+    assert not C({"exclusiveMaximum": 10**23}).is_valid(1e23)
+    # Fraction bound vs float value: decimal(0.1) == 1/10 exactly
+    assert C({"maximum": Fraction(1, 10)}).is_valid(0.1)
+    assert C({"minimum": Fraction(1, 10)}).is_valid(0.1)
+    assert not C({"exclusiveMinimum": Fraction(1, 10)}).is_valid(0.1)
+    # bool is not a number (fast path must not treat it as int)
+    assert C({"minimum": 5}).is_valid(True)
+    # plain fast paths at both boundaries
+    cc = C({"minimum": 0, "maximum": 49})
+    assert cc.is_valid(0) and cc.is_valid(49)
+    assert not cc.is_valid(50) and not cc.is_valid(-1)
+    assert cc.is_valid(49.0) and not cc.is_valid(49.5)
+    # integer type via the fast dispatch: 1.0 is an integer, 1.5 is not
+    ci = C({"type": "integer"})
+    assert ci.is_valid(1) and ci.is_valid(1.0) and ci.is_valid(1e23)
+    assert not ci.is_valid(1.5) and not ci.is_valid(True) and not ci.is_valid("1")
+    assert ci.is_valid(Fraction(4, 2)) and not ci.is_valid(Fraction(1, 2))
