@@ -689,11 +689,23 @@ class DynamicCompiler:
         ):
             if not sc or sc[-1] != _base:
                 sc = sc + (_base,)
-            out = Outcome(True)
-            rs = []
+            # fast path: every keyword returned the _OK singleton (no
+            # errors, no annotations) and there is no unevaluated* to run —
+            # skip the Outcome allocation + merge entirely (the common
+            # scalar case; leaf validators all return _OK on success)
+            rs = None
             for fn in _vals:
                 r = fn(v, sc, ip)
-                rs.append(r)
+                if r is not _OK:
+                    if rs is None:
+                        rs = []
+                    rs.append(r)
+            if rs is None:
+                if _up is None and _ui is None:
+                    return _OK
+                rs = []
+            out = Outcome(True)
+            for r in rs:
                 if not r.ok:
                     out.ok = False
                     out.errors = (out.errors or []) + (r.errors or [])
