@@ -1508,6 +1508,126 @@ def q_sequence_pack(sf_dir: str) -> pa.Table:
     )
 
 
+def q_top_values(sf_dir: str) -> pa.Table:
+    """Top-N frequent values (profiling `mode`): per-batch value_counts
+    combiner collapses each batch to ≤n_distinct rows before the small
+    groupby; global sort + limit at the end."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select(["source"]), "source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_part"])
+
+    out = (
+        _read(sf_dir, "documents", ["source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "source"], ascending=[False, True])
+        .head(5)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_left_join_nulls(sf_dir: str) -> pa.Table:
+    """Left-outer native hash join with null accounting: every order kept,
+    unmatched aggregates surface as nulls (counted, not dropped) — the
+    join-type coverage a migration needs beyond inner joins."""
+    from ray.data.aggregate import Count, Sum
+
+    def rev(batch: pa.Table) -> pa.Table:
+        price_e2 = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], 100.0)), pa.int64())
+        return pa.table({"l_orderkey": batch["l_orderkey"], "price_e2": price_e2})
+
+    li_agg = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+        .map_batches(rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("price_e2", alias_name="rev_e2"))
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = orders.join(
+        li_agg, join_type="left_outer", num_partitions=16,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        has = pc.is_valid(batch["rev_e2"])
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_matched": pc.cast(has, pa.int64()),
+                "rev_e2": pc.fill_null(batch["rev_e2"], 0),
+            }
+        )
+        g = pa.TableGroupBy(t, "o_orderpriority").aggregate(
+            [("n_matched", "sum"), ("rev_e2", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["o_orderpriority", "n_matched", "rev_e2", "n_orders"])
+
+    out = (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_matched", alias_name="n_matched"),
+            Sum("rev_e2", alias_name="rev_e2"),
+        )
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    for c in ("n_orders", "n_matched", "rev_e2"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_corr_moments(sf_dir: str) -> pa.Table:
+    """Pearson correlation from EXACT integer moments: each batch emits
+    one row of (n, Σx, Σy, Σxy, Σx², Σy²) int64 partials — associative,
+    order-independent, hash-identical to SQL — and the driver finishes the
+    float arithmetic on six numbers.  floor() (not round) keeps both
+    engines on the same double→int mapping."""
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(batch["l_quantity"]), pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.floor(batch["l_extendedprice"]), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sy": pa.array([int(y.sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+                "sx2": pa.array([int((x * x).sum())], type=pa.int64()),
+                "sy2": pa.array([int((y * y).sum())], type=pa.int64()),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+        .map_batches(moments, batch_format="pyarrow")
+        .sum(["n", "sx", "sy", "sxy", "sx2", "sy2"])
+    )
+    n, sx, sy, sxy, sx2, sy2 = (
+        int(agg["sum(n)"]), int(agg["sum(sx)"]), int(agg["sum(sy)"]),
+        int(agg["sum(sxy)"]), int(agg["sum(sx2)"]), int(agg["sum(sy2)"]),
+    )
+    corr = (n * sxy - sx * sy) / ((n * sx2 - sx * sx) ** 0.5 * (n * sy2 - sy * sy) ** 0.5)
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "sx": pa.array([sx], type=pa.int64()),
+            "sy": pa.array([sy], type=pa.int64()),
+            "sxy": pa.array([sxy], type=pa.int64()),
+            "corr": pa.array([round(corr, 6)], type=pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -1561,6 +1681,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_score": q_vocab_score,
         "cumsum_user": q_cumsum_user,
         "sequence_chunks": q_sequence_chunks,
+        "top_values": q_top_values,
+        "left_join_nulls": q_left_join_nulls,
+        "corr_moments": q_corr_moments,
         # rows-only, self-checked verdict columns
         "sequence_pack": q_sequence_pack,
     }
@@ -1945,5 +2068,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum((n + 127) // 128) AS BIGINT) AS n_chunks,
                    CAST(sum(((n + 127) // 128) * 128 - n) AS BIGINT) AS pad_tokens
             FROM t GROUP BY lang ORDER BY lang
+        """,
+        "top_values": """
+            SELECT source, count(*) AS n FROM documents
+            GROUP BY source ORDER BY n DESC, source LIMIT 5
+        """,
+        "left_join_nulls": """
+            WITH li AS (
+              SELECT l_orderkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   count(li.rev_e2) AS n_matched,
+                   CAST(coalesce(sum(li.rev_e2), 0) AS BIGINT) AS rev_e2
+            FROM orders LEFT JOIN li ON o_orderkey = li.l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "corr_moments": """
+            WITH m AS (
+              SELECT count(*)::BIGINT AS n,
+                     CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+                     CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+                     CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                              * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy,
+                     CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                              * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sx2,
+                     CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+                              * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy2
+              FROM lineitem
+            )
+            SELECT n, sx, sy, sxy,
+                   round((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)::DOUBLE
+                         / (sqrt((CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx)::DOUBLE)
+                            * sqrt((CAST(n AS HUGEINT) * sy2 - CAST(sy AS HUGEINT) * sy)::DOUBLE)),
+                         6) AS corr
+            FROM m
         """,
     }
