@@ -38,6 +38,18 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--n-parts", type=int, default=8)
     g.add_argument("--skew", type=float, default=0.0)
 
+    c = sub.add_parser(
+        "check",
+        help="validate a JSONL/Parquet file of JSON documents against a schema "
+        "(the reference's Schema.apply workload, distributed)",
+    )
+    c.add_argument("--schema", required=True, help="path to a JSON Schema file")
+    c.add_argument("--input", required=True, help=".jsonl/.ndjson/.parquet of documents")
+    c.add_argument("--dialect", default=None, choices=["2020-12", "2019-09", "draft7"])
+    c.add_argument("--assert-formats", action="store_true")
+    c.add_argument("--max-errors", type=int, default=10, help="violation examples to print")
+    c.add_argument("--num-cpus", type=int, default=None, help="only for standalone ray.init")
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -57,6 +69,8 @@ def main(argv: list[str] | None = None) -> int:
             kwargs["num_cpus"] = args.num_cpus
         ray.init(**kwargs)
     try:
+        if args.cmd == "check":
+            return _check(args)
         from .pipelines.validation import load_profile, run_validation
 
         baseline = load_profile(args.baseline) if args.baseline else None
@@ -85,6 +99,53 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         if owns_session:
             ray.shutdown()
+
+
+def _check(args) -> int:
+    """Compile once on the driver, validate many on workers: each batch's
+    rows re-assemble into JSON objects (row == one document) and run
+    through the compiled closure tree; per-batch partials carry counts
+    plus up to ``max_errors`` rendered violation examples."""
+    import pyarrow as pa
+
+    from .builder import ConstraintEngineBuilder
+    from .sources.reader import read_auto
+
+    with open(args.schema) as f:
+        schema = json.load(f)
+    b = ConstraintEngineBuilder().use_official_metaschemas()
+    if args.dialect:
+        b.dialect(args.dialect)
+    if args.assert_formats:
+        b.assert_formats()
+    cs = b.compile(schema)
+    cap = args.max_errors
+
+    def validate(batch: pa.Table) -> pa.Table:
+        objs = batch.to_pylist()
+        n_ok = 0
+        examples: list[str] = []
+        for i, o in enumerate(objs):
+            out = cs.evaluate(o)
+            if out.ok:
+                n_ok += 1
+            elif len(examples) < cap:
+                v = (out.errors or [None])[0]
+                examples.append(json.dumps({"row": i, "violation": str(v)})[:400])
+        return pa.table(
+            {
+                "n": pa.array([len(objs)], type=pa.int64()),
+                "n_ok": pa.array([n_ok], type=pa.int64()),
+                "examples": pa.array([examples], type=pa.list_(pa.string())),
+            }
+        )
+
+    parts = read_auto(args.input).map_batches(validate, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    n_ok = sum(r["n_ok"] for r in parts)
+    examples = [e for r in parts for e in r["examples"]][:cap]
+    print(json.dumps({"n_docs": n, "n_valid": n_ok, "n_invalid": n - n_ok, "examples": examples}))
+    return 0 if n_ok == n else 3
 
 
 if __name__ == "__main__":
