@@ -1628,6 +1628,72 @@ def q_corr_moments(sf_dir: str) -> pa.Table:
     )
 
 
+def q_exact_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT global quantiles without a global sort — distributed k-th
+    element selection: (1) min/max/count aggregate, (2) one narrow pass of
+    per-batch 4096-bin histogram partials (each batch → one fixed-size
+    int64 vector; the merged histogram locates the bin holding each k),
+    (3) one filtered pass collecting only the candidate bins' values
+    (candidate-sized, ≈ n/4096 per quantile) for the driver to select
+    exactly.  Three streaming passes, zero shuffle — the 100-TB shape for
+    exact order statistics; quantile_disc convention (index = ceil(q·n)−1)
+    matches the SQL oracle bit-for-bit."""
+    import math
+
+    from ray.data.aggregate import Count, Max, Min
+
+    QS = (0.25, 0.5, 0.75)
+    NBINS = 4096
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    agg = ds.aggregate(Min("l_extendedprice"), Max("l_extendedprice"), Count())
+    lo, hi, n = float(agg["min(l_extendedprice)"]), float(agg["max(l_extendedprice)"]), int(agg["count()"])
+    edges = np.linspace(lo, hi, NBINS + 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        x = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(edges, x, side="right") - 1, 0, NBINS - 1)
+        return pa.table({"h": pa.array([np.bincount(idx, minlength=NBINS).astype(np.int64)])})
+
+    partials = ds.map_batches(hist, batch_format="pyarrow").take_all()
+    h = np.sum([np.asarray(r["h"]) for r in partials], axis=0)
+    cum = np.cumsum(h)
+
+    ks = [math.ceil(q * n) - 1 for q in QS]  # quantile_disc index convention
+    # bin containing the k-th smallest: first bin with cum > k
+    bins = [int(np.searchsorted(cum, k, side="right")) for k in ks]
+    ranges = [(edges[b], edges[b + 1] if b + 1 < len(edges) else np.inf) for b in bins]
+
+    def collect(batch: pa.Table) -> pa.Table:
+        x = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(x), dtype=bool)
+        for b, (blo, bhi) in zip(bins, ranges):
+            m = (x >= blo) & (x < bhi) if b < NBINS - 1 else (x >= blo) & (x <= hi)
+            keep |= m
+        return pa.table({"v": pa.array(x[keep])})
+
+    cand = np.sort(
+        np.array(
+            [r["v"] for r in ds.map_batches(collect, batch_format="pyarrow").take_all()],
+            dtype=np.float64,
+        )
+    )
+    out = {}
+    for q, k, b in zip(QS, ks, bins):
+        below = int(cum[b - 1]) if b > 0 else 0  # values in bins before b
+        # candidates include values from every selected bin; re-rank within
+        sel = cand[(cand >= edges[b]) & ((cand < edges[b + 1]) if b + 1 < NBINS else (cand <= hi))]
+        out[q] = float(sel[k - below])
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "p25": pa.array([out[0.25]], type=pa.float64()),
+            "median": pa.array([out[0.5]], type=pa.float64()),
+            "p75": pa.array([out[0.75]], type=pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -1684,6 +1750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_values": q_top_values,
         "left_join_nulls": q_left_join_nulls,
         "corr_moments": q_corr_moments,
+        "exact_quantiles": q_exact_quantiles,
         # rows-only, self-checked verdict columns
         "sequence_pack": q_sequence_pack,
     }
@@ -2085,6 +2152,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(li.rev_e2), 0) AS BIGINT) AS rev_e2
             FROM orders LEFT JOIN li ON o_orderkey = li.l_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "exact_quantiles": """
+            SELECT count(*) AS n,
+                   quantile_disc(l_extendedprice, 0.25) AS p25,
+                   quantile_disc(l_extendedprice, 0.5) AS median,
+                   quantile_disc(l_extendedprice, 0.75) AS p75
+            FROM lineitem
         """,
         "corr_moments": """
             WITH m AS (
