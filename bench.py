@@ -159,7 +159,11 @@ def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
         concurrency = max(4, num_cpus - max(2, num_cpus // 8))
         # best-of-2: the first timed run still pays allocator/page-cache
         # warm-in on this host; the second measures steady state
-        extended = os.environ.get("GRAFT_SCALING_PROFILE", "default") == "compute"
+        _prof = os.environ.get("GRAFT_SCALING_PROFILE", "default")
+        # "compute" = full extended battery; "regex" = extended minus the
+        # memory-bandwidth-bound winnow pass (the host throttles guest
+        # bandwidth in bursts — BASELINE.md; regex stages scale ~90%)
+        extended = {"compute": True, "regex": "regex"}.get(_prof, False)
         headline, report = None, None
         for _ in range(2):
             shutil.rmtree(out_dir, ignore_errors=True)

@@ -172,7 +172,7 @@ def run_validation(
     check_unique: bool = True,
     use_actors: bool = False,
     referential_strategy: str = "broadcast",  # "broadcast" | "hash" (large catalogs)
-    extended_checks: bool = False,  # compute-weighted content battery (quality/tokens/winnow)
+    extended_checks: bool | str = False,  # compute-weighted content battery (quality/tokens/winnow); "regex" skips the bandwidth-bound winnow pass
 ) -> ValidationReport:
     """Run the full validation job.  Ray must already be initialized
     (callers own the session; see __ray_entry__.py contract)."""

