@@ -1694,6 +1694,34 @@ def q_exact_quantiles(sf_dir: str) -> pa.Table:
     )
 
 
+def q_train_split(sf_dir: str) -> pa.Table:
+    """Deterministic train/val/test assignment (90/5/5) by Knuth
+    multiplicative hash of doc_id — stateless, shuffle-free, reproducible
+    on any engine and stable under repartitioning (the property a
+    training pipeline needs so a re-run never leaks val docs into train).
+    Returns per-(split, lang) counts."""
+    from ray.data.aggregate import Count
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)  # 24-bit bucket
+        frac = h.astype(np.float64) / float(1 << 24)
+        split = np.where(frac < 0.9, "train", np.where(frac < 0.95, "val", "test"))
+        return pa.table({"split": pa.array(split), "lang": batch["lang"]})
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(["split", "lang"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -1751,6 +1779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_nulls": q_left_join_nulls,
         "corr_moments": q_corr_moments,
         "exact_quantiles": q_exact_quantiles,
+        "train_split": q_train_split,
         # rows-only, self-checked verdict columns
         "sequence_pack": q_sequence_pack,
     }
@@ -2152,6 +2181,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(li.rev_e2), 0) AS BIGINT) AS rev_e2
             FROM orders LEFT JOIN li ON o_orderkey = li.l_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "train_split": """
+            WITH a AS (
+              SELECT lang,
+                     (((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                        % 18446744073709551616) // 1099511627776) AS h
+              FROM documents
+            )
+            SELECT CASE WHEN h::DOUBLE / 16777216.0 < 0.9 THEN 'train'
+                        WHEN h::DOUBLE / 16777216.0 < 0.95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   lang, count(*) AS n
+            FROM a GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "exact_quantiles": """
             SELECT count(*) AS n,

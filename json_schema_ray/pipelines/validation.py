@@ -100,7 +100,10 @@ def _noop_restore() -> None:
     return None
 
 
-def _task_validator(catalog_ref, viol_dir: str | None = None, extended: bool = False):
+def _task_validator(
+    catalog_ref, viol_dir: str | None = None, extended: bool = False,
+    fault_marker: str | None = None,
+):
     """Stateless-task flavor of the SpanValidator stage: same kernels, but
     scheduled as plain tasks over the (already warm) worker pool instead
     of a fresh actor pool.  State amortization comes from the per-worker
@@ -108,6 +111,16 @@ def _task_validator(catalog_ref, viol_dir: str | None = None, extended: bool = F
     check profile)."""
 
     def validate_batch(batch: pa.Table) -> pa.Table:
+        if fault_marker is not None:
+            # chaos hook: the FIRST task to get here (atomically, across
+            # all workers) kills its worker process — a real machine-loss
+            # simulation; Ray re-executes the task from lineage and the
+            # idempotent side-output overwrites itself
+            try:
+                os.close(os.open(fault_marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                os._exit(1)
+            except FileExistsError:
+                pass
         key = (catalog_ref.hex() if catalog_ref is not None else None, viol_dir, extended)
         sv = _WORKER_VALIDATORS.get(key)
         if sv is None:
@@ -173,6 +186,7 @@ def run_validation(
     use_actors: bool = False,
     referential_strategy: str = "broadcast",  # "broadcast" | "hash" (large catalogs)
     extended_checks: bool | str = False,  # compute-weighted content battery (quality/tokens/winnow); "regex" skips the bandwidth-bound winnow pass
+    fault_marker: str | None = None,  # chaos hook: first scan task to reach it kills its worker (os._exit) exactly once — exercises lineage re-execution (tests/test_fault_tolerance.py)
 ) -> ValidationReport:
     """Run the full validation job.  Ray must already be initialized
     (callers own the session; see __ray_entry__.py contract)."""
@@ -319,7 +333,7 @@ def run_validation(
         # processes (no per-actor cold start); the broadcast catalog is
         # ray.get-cached per worker process (module-level cache)
         results_ds = ds.map_batches(
-            _task_validator(catalog_ref, viol_dir, extended_checks),
+            _task_validator(catalog_ref, viol_dir, extended_checks, fault_marker),
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
