@@ -1722,6 +1722,45 @@ def q_train_split(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_infer_constraints(sf_dir: str) -> pa.Table:
+    """Constraint DISCOVERY (the engine run backwards): one streaming
+    profile pass suggests a JSON Schema from the data
+    (stages/infer.infer_table_schema); this query surfaces the profile
+    facts the suggestion derives from, which the SQL oracle mirrors
+    exactly.  The round-trip (inferred schema re-validates its own table
+    with zero violations) is pinned in tests/test_infer.py."""
+    from json_schema_ray.stages.infer import profile_columns
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+    prof = profile_columns(ds)
+    rows = []
+    for col in ("event_type", "user_id", "value"):
+        p = prof[col]
+        is_enum = p["kind"] == "string" and p["enum_ok"]
+        rows.append(
+            {
+                "column": col,
+                "n": p["n"],
+                "n_null": p["n_null"],
+                "min_val": p["vmin"],
+                "max_val": p["vmax"],
+                "n_distinct": len(p["values"]) if is_enum else None,
+                "enum_vals": ",".join(sorted(p["values"])) if is_enum else None,
+            }
+        )
+    return pa.table(
+        {
+            "column": pa.array([r["column"] for r in rows]),
+            "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+            "n_null": pa.array([r["n_null"] for r in rows], type=pa.int64()),
+            "min_val": pa.array([r["min_val"] for r in rows], type=pa.float64()),
+            "max_val": pa.array([r["max_val"] for r in rows], type=pa.float64()),
+            "n_distinct": pa.array([r["n_distinct"] for r in rows], type=pa.int64()),
+            "enum_vals": pa.array([r["enum_vals"] for r in rows]),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -1780,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_moments": q_corr_moments,
         "exact_quantiles": q_exact_quantiles,
         "train_split": q_train_split,
+        "infer_constraints": q_infer_constraints,
         # rows-only, self-checked verdict columns
         "sequence_pack": q_sequence_pack,
     }
@@ -2181,6 +2221,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(li.rev_e2), 0) AS BIGINT) AS rev_e2
             FROM orders LEFT JOIN li ON o_orderkey = li.l_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "infer_constraints": """
+            SELECT 'event_type' AS "column", count(*) AS n,
+                   count(*) - count(event_type) AS n_null,
+                   CAST(NULL AS DOUBLE) AS min_val, CAST(NULL AS DOUBLE) AS max_val,
+                   count(DISTINCT event_type) AS n_distinct,
+                   (SELECT string_agg(x, ',' ORDER BY x)
+                      FROM (SELECT DISTINCT event_type AS x FROM events)) AS enum_vals
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   min(user_id)::DOUBLE, max(user_id)::DOUBLE, NULL, NULL FROM events
+            UNION ALL
+            SELECT 'value', count(*), count(*) - count(value),
+                   min(value), max(value), NULL, NULL FROM events
         """,
         "train_split": """
             WITH a AS (
