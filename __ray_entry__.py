@@ -1761,6 +1761,43 @@ def q_infer_constraints(sf_dir: str) -> pa.Table:
     )
 
 
+def q_group_distinct(sf_dir: str) -> pa.Table:
+    """Per-group approximate distinct via the HLLDistinct custom
+    aggregate (groupby().aggregate()-native sketch), self-checked against
+    the exact per-group distinct computed distributed (two-key groupby →
+    per-group count): `verdict_ok` flips the row hash if any estimate
+    leaves the ±2% HLL p=14 envelope."""
+    from ray.data.aggregate import Count
+
+    from json_schema_ray.stages.stats import HLLDistinct
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    approx = (
+        ds.groupby("lang")
+        .aggregate(HLLDistinct("n_chars", alias_name="approx_nd"))
+        .to_pandas()
+        .set_index("lang")
+    )
+    exact = (
+        ds.groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("lang")
+        .aggregate(Count(alias_name="exact_nd"))
+        .to_pandas()
+        .set_index("lang")
+    )
+    j = approx.join(exact).sort_index().reset_index()
+    ok = bool(((j["approx_nd"] - j["exact_nd"]).abs() / j["exact_nd"] <= 0.02).all())
+    return pa.table(
+        {
+            "lang": pa.array(j["lang"]),
+            "approx_nd": pa.array(j["approx_nd"].astype(np.int64)),
+            "exact_nd": pa.array(j["exact_nd"].astype(np.int64)),
+            "verdict_ok": pa.array([ok] * len(j)),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -1822,6 +1859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "infer_constraints": q_infer_constraints,
         # rows-only, self-checked verdict columns
         "sequence_pack": q_sequence_pack,
+        "group_distinct": q_group_distinct,
     }
 
 

@@ -87,3 +87,33 @@ def column_stats(ds, columns: list[str], with_hll: bool = True) -> pa.Table:
     if with_hll:
         cols.append("approx_distinct")
     return pa.Table.from_pandas(tbl[cols], preserve_index=False)
+
+
+class HLLDistinct:
+    """``groupby().aggregate()``-compatible approximate-distinct aggregate —
+    the idiomatic Ray-Data packaging of the mergeable HLL sketch (one
+    sketch per group key; accumulate is the vectorized ``add_column``,
+    merge is register-max, finalize is the bias-corrected estimate as
+    int64).  Usable anywhere ``Count()``/``Sum()`` are:
+
+        ds.groupby("lang").aggregate(HLLDistinct("doc_id"))
+    """
+
+    def __new__(cls, on: str, alias_name: str | None = None, p: int = 14):
+        from ray.data.aggregate import AggregateFn
+
+        name = alias_name or f"approx_distinct({on})"
+
+        def accumulate_block(regs: np.ndarray, block) -> np.ndarray:
+            t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            h = HyperLogLog(p=p, registers=regs)
+            h.add_column(t[on])
+            return h.registers
+
+        return AggregateFn(
+            init=lambda k: np.zeros(1 << p, dtype=np.uint8),
+            merge=lambda a, b: np.maximum(a, b),
+            accumulate_block=accumulate_block,
+            finalize=lambda regs: int(round(HyperLogLog(p=p, registers=regs).estimate())),
+            name=name,
+        )

@@ -82,3 +82,32 @@ def test_drift_stats():
     assert ks_statistic(base, shifted) > 0.05
     assert psi(base, same) < 0.1
     assert psi(base, shifted) > 0.1
+
+
+def test_hll_distinct_groupby_aggregate(ray_session):
+    """HLLDistinct plugs into groupby().aggregate() like Count/Sum and
+    lands within the p=14 error envelope per group."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_ray.stages.stats import HLLDistinct
+
+    n = 60_000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n) % 4),
+            "v": pa.array((np.arange(n) * 7919) % 15_000),
+        }
+    )
+    out = (
+        rd.from_arrow(t)
+        .repartition(8)
+        .groupby("k")
+        .aggregate(HLLDistinct("v", alias_name="nd"))
+        .to_pandas()
+        .set_index("k")["nd"]
+    )
+    exact = t.to_pandas().groupby("k")["v"].nunique()
+    for k in exact.index:
+        assert abs(out[k] - exact[k]) / exact[k] < 0.03, (k, out[k], exact[k])
