@@ -117,3 +117,32 @@ class HLLDistinct:
             finalize=lambda regs: int(round(HyperLogLog(p=p, registers=regs).estimate())),
             name=name,
         )
+
+
+class TDigestQuantile:
+    """``groupby().aggregate()``-compatible approximate-quantile aggregate:
+    one mergeable t-digest per group key, finalized to the requested
+    quantile.  The per-group sibling of the global drift sketches:
+
+        ds.groupby("lang").aggregate(TDigestQuantile("n_chars", 0.5))
+    """
+
+    def __new__(cls, on: str, q: float = 0.5, alias_name: str | None = None, delta: int = 200):
+        from ray.data.aggregate import AggregateFn
+
+        from ..state.tdigest import TDigest
+
+        name = alias_name or f"approx_q{q}({on})"
+
+        def accumulate_block(td: TDigest, block) -> TDigest:
+            t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+            x = pc.cast(pc.drop_null(t[on]), pa.float64()).to_numpy(zero_copy_only=False)
+            return td.add_values(x) if len(x) else td
+
+        return AggregateFn(
+            init=lambda k: TDigest(delta=delta),
+            merge=lambda a, b: a.merge(b),
+            accumulate_block=accumulate_block,
+            finalize=lambda td: float(td.quantile(q)),
+            name=name,
+        )

@@ -111,3 +111,32 @@ def test_hll_distinct_groupby_aggregate(ray_session):
     exact = t.to_pandas().groupby("k")["v"].nunique()
     for k in exact.index:
         assert abs(out[k] - exact[k]) / exact[k] < 0.03, (k, out[k], exact[k])
+
+
+def test_tdigest_quantile_groupby_aggregate(ray_session):
+    """TDigestQuantile per-group median lands within rank-error bounds of
+    the exact per-group median."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_ray.stages.stats import TDigestQuantile
+
+    rng = np.random.RandomState(5)
+    n = 40_000
+    k = np.arange(n) % 3
+    v = np.where(k == 0, rng.normal(100, 10, n), np.where(k == 1, rng.exponential(50, n), rng.uniform(0, 1000, n)))
+    t = pa.table({"k": pa.array(k), "v": pa.array(v)})
+    out = (
+        rd.from_arrow(t)
+        .repartition(8)
+        .groupby("k")
+        .aggregate(TDigestQuantile("v", 0.5, alias_name="med"))
+        .to_pandas()
+        .set_index("k")["med"]
+    )
+    df = t.to_pandas()
+    for kk, g in df.groupby("k"):
+        exact = g["v"].median()
+        spread = g["v"].quantile(0.55) - g["v"].quantile(0.45)
+        assert abs(out[kk] - exact) <= max(spread, 1e-9), (kk, out[kk], exact)
