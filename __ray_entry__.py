@@ -1798,6 +1798,44 @@ def q_group_distinct(sf_dir: str) -> pa.Table:
     )
 
 
+def q_window_funcs(sf_dir: str) -> pa.Table:
+    """Row-window functions per key — LAG(value) and a 3-row moving sum
+    over (ts, event_id) order, in exact e4 integer units: hash-partition
+    by user, one vectorized pass per group (shift + sliding-window sum via
+    cumsum differences).  Same partitioning contract as sessionization."""
+    import pandas as pd
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        v = np.round(g["value"].to_numpy(dtype=np.float64) * 1e4).astype(np.int64)
+        prev = np.empty(len(v), dtype=np.float64)
+        prev[0], prev[1:] = np.nan, v[:-1]
+        cs = np.concatenate([[0], np.cumsum(v)])
+        lo = np.maximum(np.arange(len(v)) - 2, 0)
+        sum3 = cs[np.arange(1, len(v) + 1)] - cs[lo]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(dtype=np.int64),
+                "prev_value_e4": prev,  # float64 carrying NaN for the first row
+                "sum3_e4": sum3,
+            }
+        )
+
+    out = (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(win, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "event_id": pa.array(out["event_id"].astype(np.int64)),
+            "prev_value_e4": pa.Array.from_pandas(out["prev_value_e4"]).cast(pa.int64()),
+            "sum3_e4": pa.array(out["sum3_e4"].astype(np.int64)),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -1857,6 +1895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles": q_exact_quantiles,
         "train_split": q_train_split,
         "infer_constraints": q_infer_constraints,
+        "window_funcs": q_window_funcs,
         # rows-only, self-checked verdict columns
         "sequence_pack": q_sequence_pack,
         "group_distinct": q_group_distinct,
@@ -2259,6 +2298,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(li.rev_e2), 0) AS BIGINT) AS rev_e2
             FROM orders LEFT JOIN li ON o_orderkey = li.l_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "window_funcs": """
+            SELECT event_id,
+                   lag(CAST(round(value * 10000) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value_e4,
+                   sum(CAST(round(value * 10000) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sum3_e4
+            FROM events
         """,
         "infer_constraints": """
             SELECT 'event_type' AS "column", count(*) AS n,
