@@ -1836,6 +1836,38 @@ def q_window_funcs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_curation_funnel(sf_dir: str) -> pa.Table:
+    """Full composed curation funnel (pipelines/curation.py): signal
+    filter + PII scrub → exact dedup → MinHash near-dedup → benchmark
+    decontamination → train/val/test split → pack → partitioned write,
+    each stage a resumable parquet boundary.  Rows-only by nature
+    (multi-stage, LSH inside), but self-checked: ``funnel_ok`` asserts
+    the counts are monotone through the funnel and the splits partition
+    the final corpus — a count bug flips the row hash."""
+    import shutil
+    import tempfile
+
+    from json_schema_ray.functions.text import doc_word_ngrams
+    from json_schema_ray.pipelines.curation import run_curation
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    bench_mask = pa.array(docs["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0)
+    bench = docs.filter(bench_mask)
+    out = tempfile.mkdtemp(prefix="curation_funnel_")
+    try:
+        rep = run_curation(
+            os.path.join(sf_dir, "documents.parquet"),
+            out,
+            benchmark_texts=bench,
+            min_quality=0.3,
+            pack_capacity=2048,
+            resume=False,
+        )
+        return rep.to_table()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -1899,6 +1931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only, self-checked verdict columns
         "sequence_pack": q_sequence_pack,
         "group_distinct": q_group_distinct,
+        "curation_funnel": q_curation_funnel,
     }
 
 
