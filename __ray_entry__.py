@@ -2299,9 +2299,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cumsum_user": """
             SELECT user_id, event_id,
-                   sum(CAST(round(value * 10000) AS BIGINT))
+                   CAST(sum(CAST(round(value * 10000) AS BIGINT))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS cum_value_e4
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_e4
             FROM events
         """,
         "sequence_chunks": """
@@ -2336,9 +2336,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    lag(CAST(round(value * 10000) AS BIGINT))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value_e4,
-                   sum(CAST(round(value * 10000) AS BIGINT))
+                   CAST(sum(CAST(round(value * 10000) AS BIGINT))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sum3_e4
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum3_e4
             FROM events
         """,
         "infer_constraints": """
