@@ -1868,6 +1868,134 @@ def q_curation_funnel(sf_dir: str) -> pa.Table:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """EXACT heavy hitters (count > 0.8% of N) without shuffling the
+    column: pigeonhole candidate prefilter (each batch emits only its
+    locally-frequent values — a guaranteed superset, < 1/φ per batch)
+    → broadcast candidate set → candidate-only exact recount
+    (functions/profile.heavy_hitters).  The skew the uniqueness check
+    salts AGAINST is what this operator exploits: heavier skew, smaller
+    candidate set."""
+    from json_schema_ray.functions.profile import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ds, "user_id", min_frac=0.008)
+
+
+def q_rollup_revenue(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): the distributed
+    pass computes only the FINEST level (partial combiner per batch, tiny
+    exchange); both subtotal levels re-aggregate from that ≤|p|×|s|-row
+    result on the driver — the rollup shape that never re-scans data."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e2 = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_orderstatus": batch["o_orderstatus"],
+                "rev_e2": e2,
+            }
+        )
+        g = pa.TableGroupBy(t, ["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("rev_e2", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["o_orderpriority", "o_orderstatus", "rev_e2", "n"])
+
+    import pandas as pd
+
+    fine = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("n", alias_name="n"), Sum("rev_e2", alias_name="rev_e2"))
+        .to_pandas()
+    )
+    by_p = fine.groupby("o_orderpriority", as_index=False)[["n", "rev_e2"]].sum()
+    by_p["o_orderstatus"] = None
+    total = pd.DataFrame(
+        {
+            "o_orderpriority": [None],
+            "o_orderstatus": [None],
+            "n": [fine["n"].sum()],
+            "rev_e2": [fine["rev_e2"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_p, total], ignore_index=True)[
+        ["o_orderpriority", "o_orderstatus", "n", "rev_e2"]
+    ]
+    for c in ("n", "rev_e2"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_rank_windows(sf_dir: str) -> pa.Table:
+    """dense_rank + ntile(4) per segment over customer spend: distributed
+    spend aggregate → native hash join to customer → per-segment
+    vectorized ranking in map_groups (exact e2 integer money so rank ties
+    are deterministic across engines).  Returns the top-3 dense ranks."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def spend_part(batch: pa.Table) -> pa.Table:
+        e2 = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"o_custkey": batch["o_custkey"], "e2": e2}), "o_custkey"
+        ).aggregate([("e2", "sum")])
+        return g.rename_columns(["o_custkey", "spend_part"])
+
+    spend = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(spend_part, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("spend_part", alias_name="spend_e2"))
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = cust.join(
+        spend, join_type="inner", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["spend_e2", "c_custkey"], ascending=[False, True]).reset_index(drop=True)
+        s = g["spend_e2"].to_numpy()
+        drank = np.cumsum(np.concatenate([[True], s[1:] != s[:-1]])).astype(np.int64)
+        n, k = len(g), 4
+        base, rem = divmod(n, k)
+        tile = np.repeat(np.arange(1, k + 1), [base + 1] * rem + [base] * (k - rem))
+        g["drank"], g["tile"] = drank, tile.astype(np.int64)
+        return g[g["drank"] <= 3][["c_mktsegment", "c_custkey", "spend_e2", "drank", "tile"]]
+
+    out = (
+        joined.groupby("c_mktsegment")
+        .map_groups(rank, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["c_mktsegment", "drank", "c_custkey"])
+        .reset_index(drop=True)
+    )
+    for c in ("spend_e2", "drank", "tile"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic stratified sample: exactly ceil(10% · n_g) docs per
+    source, the quota-smallest Knuth-hash ids (functions/profile.
+    stratified_sample) — reproducible on any engine, stable under
+    repartitioning, partial top-k combiner before the per-group select."""
+    from json_schema_ray.functions.profile import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["source", "doc_id"])
+    out = (
+        stratified_sample(ds, group_col="source", id_col="doc_id", frac=0.1)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -1928,6 +2056,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": q_train_split,
         "infer_constraints": q_infer_constraints,
         "window_funcs": q_window_funcs,
+        "heavy_hitters": q_heavy_hitters,
+        "rollup_revenue": q_rollup_revenue,
+        "rank_windows": q_rank_windows,
+        "stratified_sample": q_stratified_sample,
         # rows-only, self-checked verdict columns
         "sequence_pack": q_sequence_pack,
         "group_distinct": q_group_distinct,
@@ -2340,6 +2472,55 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum3_e4
             FROM events
+        """,
+        "heavy_hitters": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id
+            HAVING count(*) > 0.008 * (SELECT count(*) FROM events)
+            ORDER BY n DESC, user_id
+        """,
+        "rollup_revenue": """
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+            FROM orders
+            GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+            ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        """,
+        "rank_windows": """
+            WITH spend AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_e2
+              FROM orders GROUP BY o_custkey
+            ), r AS (
+              SELECT c_mktsegment, c_custkey, spend_e2,
+                     dense_rank() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY spend_e2 DESC) AS drank,
+                     ntile(4) OVER (PARTITION BY c_mktsegment
+                                    ORDER BY spend_e2 DESC, c_custkey) AS tile
+              FROM customer JOIN spend ON c_custkey = o_custkey
+            )
+            SELECT c_mktsegment, c_custkey, spend_e2, drank, tile
+            FROM r WHERE drank <= 3
+            ORDER BY c_mktsegment, drank, c_custkey
+        """,
+        "stratified_sample": """
+            WITH h AS (
+              SELECT source, doc_id,
+                     ((CAST(doc_id AS HUGEINT) * 11400714819323198485)
+                       % 18446744073709551616) AS hh
+              FROM documents
+            ), q AS (
+              SELECT source, count(*) AS n FROM documents GROUP BY source
+            ), r AS (
+              SELECT h.source, doc_id,
+                     row_number() OVER (PARTITION BY h.source
+                                        ORDER BY hh, doc_id) AS rn,
+                     q.n
+              FROM h JOIN q ON h.source = q.source
+            )
+            SELECT source, doc_id FROM r
+            WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
+            ORDER BY source, doc_id
         """,
         "infer_constraints": """
             SELECT 'event_type' AS "column", count(*) AS n,

@@ -1,0 +1,152 @@
+"""Distributed profiling operators: exact heavy hitters and deterministic
+stratified sampling.
+
+These extend the engine's profiling surface (SURVEY §2.9: column stats /
+top-N values) with the two operations a 100-TB corpus audit needs that the
+reference cannot express (the reference validates one in-memory document at
+a time, ``js/Schema.java:51-66``):
+
+- ``heavy_hitters``: all values whose global frequency exceeds a fraction
+  ``min_frac`` of the dataset — EXACT counts, without ever shuffling the
+  full column.  Two streaming passes:
+
+  1. *Pigeonhole candidate prefilter* (the mergeable-summaries guarantee,
+     Agarwal et al., PODS'12 / Misra-Gries): if count(x) > φ·N globally,
+     then in at least one batch count_i(x) > φ·n_i.  Each batch therefore
+     emits only its locally-φ-frequent values (< 1/φ of them per batch) —
+     a guaranteed SUPERSET of the true heavy hitters, tiny by
+     construction.
+  2. *Candidate-only exact recount*: the candidate set is broadcast
+     (``ray.put`` once, read per task) and a second narrow scan counts
+     ONLY candidate values — the exchange moves ≤ |candidates| rows per
+     block instead of N values.
+
+  The result is bit-exact (a SQL ``HAVING count(*) > φ·N`` oracle holds),
+  while the shuffle volume is bounded by the candidate count, not the
+  data.  Skewed keys are the POINT here: the heavier the skew, the
+  smaller the candidate set.
+
+- ``stratified_sample``: exactly ``ceil(frac · n_g)`` rows per group,
+  selected as the quota-smallest Knuth-hash values of the id — the
+  engine-reproducible sampling contract (same hash family as the
+  train/val/test split): stable under repartitioning, reproducible in SQL
+  (``row_number() OVER (... ORDER BY hash)``), no RNG state.  Pass 1 is a
+  tiny per-group count; pass 2 keeps at most quota_g rows per group per
+  batch (partial top-k combiner) so the final per-group selection touches
+  ≤ quota·n_blocks rows, not the group.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+KNUTH = np.uint64(0x9E3779B97F4A7C15)
+
+
+def knuth_hash(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """uint64 multiplicative hash of an integer id column (mod 2^64) —
+    mirrored in SQL as ``(CAST(id AS HUGEINT)*11400714819323198485) %
+    18446744073709551616``."""
+    ids = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+    return ids * KNUTH
+
+
+def heavy_hitters(ds, col: str, *, min_frac: float, total: int | None = None) -> pa.Table:
+    """All values of ``ds[col]`` with global count > ``min_frac * N``,
+    with EXACT counts.  Returns an Arrow table (col, n) sorted by
+    (n desc, col asc).  ``total`` skips the count pass when the caller
+    already knows N (e.g. from parquet footers)."""
+    import ray
+
+    n_total = int(ds.count()) if total is None else int(total)
+    threshold = min_frac * n_total
+
+    def local_frequent(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select([col]), col).aggregate([([], "count_all")])
+        cnt = g.column("count_all")
+        keep = pc.greater(pc.cast(cnt, pa.float64()), min_frac * len(batch))
+        return g.filter(keep).select([col])
+
+    # candidate superset: < 1/min_frac values per batch by construction
+    candidates = ds.map_batches(local_frequent, batch_format="pyarrow").unique(col)
+    if not candidates:
+        sch = ds.schema()
+        col_type = dict(zip(sch.names, sch.types))[col]
+        return pa.table({col: pa.array([], type=col_type),
+                         "n": pa.array([], type=pa.int64())})
+    cand_ref = ray.put(pa.array(candidates))
+
+    def recount(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        hit = batch.select([col]).filter(pc.is_in(batch[col], value_set=cand))
+        g = pa.TableGroupBy(hit, col).aggregate([([], "count_all")])
+        return g.rename_columns([col, "n_part"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    out = out[out["n"] > threshold].sort_values(["n", col], ascending=[False, True])
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def stratified_sample(ds, *, group_col: str, id_col: str, frac: float):
+    """Deterministic per-group sample: exactly ``ceil(frac * n_g)`` rows
+    of each ``group_col`` group, chosen as the quota-smallest
+    ``knuth_hash(id)`` values (ties broken by id — the hash is injective
+    on int64 ids anyway, the tiebreak documents intent).  Returns a
+    Dataset of (group_col, id_col) rows."""
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(group_col).aggregate(Count(alias_name="n")).to_pandas()
+    quotas = {
+        g: int(math.ceil(frac * int(n)))
+        for g, n in zip(counts[group_col], counts["n"])
+    }
+
+    def partial_select(batch: pa.Table) -> pa.Table:
+        h = knuth_hash(batch[id_col])
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                id_col: batch[id_col],
+                "__h__": pa.array(h),  # uint64 — int64 reinterpret would break ordering
+            }
+        )
+        out_parts = []
+        grp = batch[group_col].to_numpy(zero_copy_only=False)
+        for g in np.unique(grp):
+            q = quotas.get(g if not isinstance(g, bytes) else g.decode(), 0)
+            if q <= 0:
+                continue
+            m = grp == g
+            idx = np.nonzero(m)[0]
+            hh = h[idx]
+            if len(idx) > q:
+                sel = np.argsort(hh, kind="stable")[:q]
+                idx = idx[sel]
+            out_parts.append(t.take(pa.array(idx)))
+        if not out_parts:
+            return t.slice(0, 0)
+        return pa.concat_tables(out_parts)
+
+    def final_select(g: pa.Table) -> pa.Table:
+        key = g[group_col][0].as_py()
+        q = quotas.get(key, 0)
+        t = g.sort_by([("__h__", "ascending"), (id_col, "ascending")])
+        return t.slice(0, q).select([group_col, id_col])
+
+    return (
+        ds.map_batches(partial_select, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final_select, batch_format="pyarrow")
+    )
