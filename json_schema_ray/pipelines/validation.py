@@ -184,7 +184,7 @@ def run_validation(
     distributed_sketch_merge: bool | str = "auto",
     check_unique: bool = True,
     use_actors: bool = False,
-    referential_strategy: str = "broadcast",  # "broadcast" | "hash" (large catalogs)
+    referential_strategy: str = "broadcast",  # | "hash" | "hash_distinct" (large catalogs)
     extended_checks: bool | str = False,  # compute-weighted content battery (quality/tokens/winnow); "regex" skips the bandwidth-bound winnow pass
     fault_marker: str | None = None,  # chaos hook: first scan task to reach it kills its worker (os._exit) exactly once — exercises lineage re-execution (tests/test_fault_tolerance.py)
 ) -> ValidationReport:
@@ -381,13 +381,21 @@ def run_validation(
         viol_ds = _kind(res, "violation").materialize()
 
     # -------- hash-partitioned referential semi-join (large catalogs) ----
-    if catalog_path and referential_strategy == "hash":
-        from ..stages.referential import hash_referential_dangling
+    if catalog_path and referential_strategy in ("hash", "hash_distinct"):
+        from ..stages.referential import (
+            hash_referential_dangling,
+            hash_referential_dangling_distinct,
+        )
         from ..stages.validate import CONSTRAINT_META
 
         REF_CID = "spans[].media_ref/referential"
         meta = CONSTRAINT_META[REF_CID]
-        dangling_ds = hash_referential_dangling(ds, catalog_path, collect=False).materialize()
+        _ref_fn = (
+            hash_referential_dangling_distinct
+            if referential_strategy == "hash_distinct"
+            else hash_referential_dangling
+        )
+        dangling_ds = _ref_fn(ds, catalog_path, collect=False).materialize()
         scan_viol_ds = viol_ds  # scan-only violations (pre-union, materialized)
 
         def to_viol(b: pa.Table) -> pa.Table:

@@ -123,6 +123,10 @@ def hash_referential_dangling(
     if not collect:
         return dangling_ds
     out = dangling_ds.to_pandas()
+    return _rows_table(out)
+
+
+def _rows_table(out: pd.DataFrame) -> pa.Table:
     if len(out) == 0:
         return pa.table(
             {
@@ -135,3 +139,87 @@ def hash_referential_dangling(
     out["partition_id"] = out["partition_id"].astype(np.int32)
     out["span_index"] = out["span_index"].astype(np.int32)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def hash_referential_dangling_distinct(
+    docs_ds, catalog_path: str, n_buckets: int = 64, collect: bool = True
+):
+    """Same anti-join verdict as :func:`hash_referential_dangling`, with a
+    **distinct-ref combiner** on the span side: the exchange carries only
+    each batch's DISTINCT ``(bucket, media_ref)`` pairs — not one row per
+    span occurrence — so a hot ref costs one exchange row per block
+    instead of one per span (the same combiner idea as the uniqueness
+    check's per-block ``value_counts``).  The anti-join then yields the
+    *dangling ref set* (∝ violations, expected rare), which is broadcast
+    back into a second narrow flatten pass that emits the per-span
+    violation rows locally — re-scanning pruned columns instead of
+    shuffling 10¹² span identities is the right trade at 100 TB.
+
+    Falls back to the row-shuffling plan's contract exactly: identical
+    output schema and rows (asserted in tests/test_referential_hash.py).
+    The driver holds only the dangling ref set (violation-sized), never a
+    span table.
+    """
+    import ray
+    import ray.data as rd
+
+    def left_distinct(b: pa.Table) -> pa.Table:
+        t = _span_refs(b, n_buckets)
+        g = pa.TableGroupBy(t.select(["bucket", "media_ref"]), ["bucket", "media_ref"]).aggregate([])
+        return pa.table(
+            {
+                "media_ref": g["media_ref"],
+                "bucket": g["bucket"],
+                "side": pa.array(["L"] * g.num_rows),
+            }
+        )
+
+    def right_fn(b: pa.Table) -> pa.Table:
+        refs = pc.cast(b["media_ref"], pa.string())
+        bucket = (
+            pd.util.hash_pandas_object(refs.to_pandas(), index=False).to_numpy()
+            % n_buckets
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "media_ref": refs,
+                "bucket": pa.array(bucket),
+                "side": pa.array(["R"] * len(b)),
+            }
+        )
+
+    cat_side = rd.read_parquet(catalog_path, columns=["media_ref"]).map_batches(
+        right_fn, batch_format="pyarrow"
+    )
+    both = docs_ds.map_batches(left_distinct, batch_format="pyarrow").union(cat_side)
+
+    def anti_refs(g: pd.DataFrame) -> pd.DataFrame:
+        have = set(g.loc[g["side"] == "R", "media_ref"])
+        l_refs = g.loc[g["side"] == "L", "media_ref"].drop_duplicates()
+        return pd.DataFrame({"media_ref": l_refs[~l_refs.isin(have)]})
+
+    # dangling ref set: ∝ violations — the broadcast-safe small side
+    dangling_refs = (
+        both.groupby("bucket").map_groups(anti_refs, batch_format="pandas").to_pandas()
+    )
+    vals = (
+        dangling_refs["media_ref"].to_numpy()
+        if "media_ref" in dangling_refs.columns
+        else np.array([], dtype=object)
+    )
+    ref_arr = pa.array(vals, type=pa.string())
+    if len(ref_arr) == 0:
+        empty = _rows_table(pd.DataFrame())
+        return empty if collect else rd.from_arrow(empty)
+    ref_set = ray.put(ref_arr)
+
+    def emit_rows(b: pa.Table) -> pa.Table:
+        t = _span_refs(b, n_buckets)
+        bad = t.filter(pc.is_in(t["media_ref"], value_set=ray.get(ref_set)))
+        return bad.drop(["bucket"])
+
+    rows_ds = docs_ds.map_batches(emit_rows, batch_format="pyarrow")
+    if not collect:
+        return rows_ds
+    out = rows_ds.to_pandas()
+    return _rows_table(out)
