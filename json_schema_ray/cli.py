@@ -50,6 +50,24 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-errors", type=int, default=10, help="violation examples to print")
     c.add_argument("--num-cpus", type=int, default=None, help="only for standalone ray.init")
 
+    cu = sub.add_parser(
+        "curate",
+        help="run the training-data curation funnel (filter → PII scrub → "
+        "dedup → near-dedup → decontaminate → split → pack → write)",
+    )
+    cu.add_argument("--input", required=True, help="parquet/lance/JSONL corpus")
+    cu.add_argument("--out", required=True, help="stage-output root dir")
+    cu.add_argument("--benchmark", default=None, help="held-out eval parquet (decontamination)")
+    cu.add_argument("--langs", default="en", help="comma-separated langs to keep")
+    cu.add_argument("--min-quality", type=float, default=0.3)
+    cu.add_argument("--near-dup-threshold", type=float, default=0.6)
+    cu.add_argument("--pack-capacity", type=int, default=None, help="tokens per training bin")
+    cu.add_argument("--no-redact", dest="redact", action="store_false", default=True)
+    cu.add_argument("--resume", action="store_true", default=True)
+    cu.add_argument("--no-resume", dest="resume", action="store_false")
+    cu.add_argument("--concurrency", type=int, default=4)
+    cu.add_argument("--num-cpus", type=int, default=None, help="only for standalone ray.init")
+
     args = p.parse_args(argv)
 
     if args.cmd == "generate":
@@ -71,6 +89,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "check":
             return _check(args)
+        if args.cmd == "curate":
+            return _curate(args)
         from .pipelines.validation import load_profile, run_validation
 
         baseline = load_profile(args.baseline) if args.baseline else None
@@ -99,6 +119,31 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         if owns_session:
             ray.shutdown()
+
+
+def _curate(args) -> int:
+    import pyarrow.parquet as pq
+
+    from .pipelines.curation import run_curation
+
+    bench = pq.read_table(args.benchmark) if args.benchmark else None
+    rep = run_curation(
+        args.input,
+        args.out,
+        langs=tuple(args.langs.split(",")),
+        min_quality=args.min_quality,
+        near_dup_threshold=args.near_dup_threshold,
+        pack_capacity=args.pack_capacity,
+        redact=args.redact,
+        benchmark_texts=bench,
+        resume=args.resume,
+        concurrency=args.concurrency,
+    )
+    row = {k: (v[0].as_py() if hasattr(v[0], "as_py") else v[0]) for k, v in
+           zip(rep.to_table().column_names, rep.to_table().columns)}
+    row["resumed_stages"] = rep.resumed_stages
+    print(json.dumps(row))
+    return 0 if row.get("funnel_ok") else 3
 
 
 def _check(args) -> int:

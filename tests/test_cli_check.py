@@ -46,3 +46,31 @@ def test_cli_check_all_valid(ray_session, tmp_path, capsys):
     rc = main(["check", "--schema", str(schema), "--input", str(docs)])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["n_invalid"] == 0
+
+
+def test_cli_curate(ray_session, tmp_path, capsys):
+    """`curate` subcommand: runs the funnel, prints the report row, exits
+    by the funnel_ok verdict; --resume skips finished stages."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(5)
+    words = ["the", "quick", "brown", "fox", "data", "pipeline", "ray", "arrow"]
+    texts = [" ".join(rng.choice(words, size=30)) + "." for _ in range(120)]
+    docs = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(np.arange(120, dtype=np.int64)),
+                  "text": pa.array(texts)}),
+        docs,
+    )
+    out_dir = tmp_path / "curated"
+    rc = main(["curate", "--input", str(docs), "--out", str(out_dir), "--no-resume"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["funnel_ok"]
+    assert rep["n_input"] == 120 and rep["n_final"] <= rep["n_filtered"]
+
+    rc2 = main(["curate", "--input", str(docs), "--out", str(out_dir), "--resume"])
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 0 and set(rep2["resumed_stages"]) == {"filtered", "deduped", "drops", "curated"}
+    assert rep2["n_final"] == rep["n_final"]
