@@ -1996,6 +1996,72 @@ def q_stratified_sample(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_pivot_events(sf_dir: str) -> pa.Table:
+    """PIVOT: long (user bucket, event_type) → wide per-type count
+    columns, as conditional-aggregation partials — each batch collapses
+    to ≤n_buckets rows of int64 counts before the exchange (no
+    wide-table shuffle, no driver pivot of a big frame)."""
+    from ray.data.aggregate import Sum
+
+    types = ("click", "view", "purchase", "signup", "error")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bucket = pc.cast(
+            pc.bit_wise_and(batch["user_id"], pa.scalar(7, pa.int64())), pa.int64()
+        )
+        cols: dict = {"bucket": bucket}
+        for t in types:
+            cols[f"n_{t}"] = pc.cast(pc.equal(batch["event_type"], t), pa.int64())
+        g = pa.TableGroupBy(pa.table(cols), "bucket").aggregate(
+            [(f"n_{t}", "sum") for t in types]
+        )
+        return g.rename_columns(["bucket"] + [f"n_{t}" for t in types])
+
+    out = (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    for t in types:
+        out[f"n_{t}"] = out[f"n_{t}"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_monthly_revenue(sf_dir: str) -> pa.Table:
+    """date_trunc('month') rollup: exact e2 money per order month — the
+    calendar-bucketed aggregate every reporting pipeline needs; month
+    arithmetic done vectorized from the epoch timestamp (no Python
+    datetime per row)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch["o_orderdate"])
+        m = pc.month(batch["o_orderdate"])
+        ym = pc.add(pc.multiply(pc.cast(y, pa.int64()), 100), pc.cast(m, pa.int64()))
+        e2 = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)), pa.int64())
+        g = pa.TableGroupBy(
+            pa.table({"ym": ym, "rev_e2": e2}), "ym"
+        ).aggregate([("rev_e2", "sum"), ([], "count_all")])
+        return g.rename_columns(["ym", "rev_e2", "n"])
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("n", alias_name="n"), Sum("rev_e2", alias_name="rev_e2"))
+        .to_pandas()
+        .sort_values("ym")
+        .reset_index(drop=True)
+    )
+    for c in ("n", "rev_e2"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -2060,6 +2126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": q_rollup_revenue,
         "rank_windows": q_rank_windows,
         "stratified_sample": q_stratified_sample,
+        "pivot_events": q_pivot_events,
+        "monthly_revenue": q_monthly_revenue,
         # rows-only, self-checked verdict columns
         "sequence_pack": q_sequence_pack,
         "group_distinct": q_group_distinct,
@@ -2521,6 +2589,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id FROM r
             WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
             ORDER BY source, doc_id
+        """,
+        "pivot_events": """
+            SELECT (user_id & 7) AS bucket,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events GROUP BY bucket ORDER BY bucket
+        """,
+        "monthly_revenue": """
+            SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+            FROM orders GROUP BY ym ORDER BY ym
         """,
         "infer_constraints": """
             SELECT 'event_type' AS "column", count(*) AS n,
