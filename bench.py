@@ -237,6 +237,16 @@ def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
         em.q_json_props(sf_dir)
         queries["json_props_dynamic"] = round(time.time() - t, 3)
 
+        # profiling ops: exact heavy hitters (candidate-bounded exchange)
+        # and deterministic stratified sampling (quota top-k combiner)
+        t = time.time()
+        em.q_heavy_hitters(sf_dir)
+        queries["heavy_hitters"] = round(time.time() - t, 3)
+
+        t = time.time()
+        em.q_stratified_sample(sf_dir)
+        queries["stratified_sample"] = round(time.time() - t, 3)
+
         result = {
             "metric": "validation_pipeline_wall_time",
             "value": round(headline, 3),
