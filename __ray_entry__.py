@@ -2062,6 +2062,53 @@ def q_monthly_revenue(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_range_join(sf_dir: str) -> pa.Table:
+    """Range (interval) join — the custom-operator trio's third member
+    next to as-of and windowed aggregates: clicks joined to same-user
+    purchase windows [purchase_ts, +6 h], bucket-partitioned on
+    (user, time bucket) with interval replication, per-point match
+    counts via two searchsorted passes (functions/rangejoin.py) — no
+    pair materialization crosses the exchange."""
+    from ray.data.aggregate import Sum
+
+    from json_schema_ray.functions.rangejoin import range_join_counts
+
+    WIN_US = 360 * 60 * 1_000_000  # 6 h window, µs
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+
+    def to_iv(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["ts"], pa.int64())
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "w_start": s,
+                "w_end": pc.add(s, WIN_US),
+            }
+        )
+
+    counts = range_join_counts(
+        clicks,
+        purchases.map_batches(to_iv, batch_format="pyarrow"),
+        key_col="user_id",
+        point_ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_width_us=WIN_US,
+    )
+    out = (
+        counts.groupby("user_id")
+        .aggregate(Sum("n_matches", alias_name="n_pairs"))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -2128,6 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "pivot_events": q_pivot_events,
         "monthly_revenue": q_monthly_revenue,
+        "range_join": q_range_join,
         # rows-only, self-checked verdict columns
         "sequence_pack": q_sequence_pack,
         "group_distinct": q_group_distinct,
@@ -2589,6 +2637,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id FROM r
             WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
             ORDER BY source, doc_id
+        """,
+        "range_join": """
+            SELECT c.user_id, count(*) AS n_pairs
+            FROM events c
+            JOIN events p
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts
+             AND c.ts <= p.ts + INTERVAL 360 MINUTE
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            GROUP BY c.user_id ORDER BY c.user_id
         """,
         "pivot_events": """
             SELECT (user_id & 7) AS bucket,
