@@ -609,9 +609,18 @@ def q_minhash_near_dup(sf_dir: str) -> pa.Table:
 
 
 def q_simhash_near_dup(sf_dir: str) -> pa.Table:
-    from json_schema_ray.functions.dedup import simhash_candidates
+    """Self-checked (round-3): every candidate pair carries (a) its
+    hamming distance with a `hamming_ok` gate (≤ the max_hamming the
+    banding guarantees), and (b) its EXACT word 3-gram Jaccard from an
+    independent candidate-only verify pass — a banding or signature bug
+    flips the row hash."""
+    from json_schema_ray.functions.dedup import ngram_jaccard_verify, simhash_candidates
 
-    return simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=8, concurrency=2)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = simhash_candidates(ds, max_hamming=8, concurrency=2)
+    verified = ngram_jaccard_verify(ds, pairs)
+    ham_ok = pc.less_equal(verified["hamming"], 8)
+    return verified.append_column("hamming_ok", ham_ok)
 
 
 def q_embedding_near_dup(sf_dir: str) -> pa.Table:
@@ -653,7 +662,21 @@ def q_embedding_near_dup(sf_dir: str) -> pa.Table:
         .map_batches(_fix, batch_format="pyarrow")
         .union(rd.from_arrow(plant_tbl).map_batches(_fix, batch_format="pyarrow"))
     )
-    return embedding_near_dup(ds, threshold=0.9)
+    pairs = embedding_near_dup(ds, threshold=0.9)
+    # planted-truth verdict (round-3): every planted copy must pair with
+    # its source — missed recall flips the constant column and the hash
+    src_ids = np.asarray(emb["vec_id"].to_pylist()[:5])
+    found = {
+        (min(a, b), max(a, b))
+        for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist())
+    }
+    ok = all(
+        (min(int(s), int(s) + 10_000_000), max(int(s), int(s) + 10_000_000)) in found
+        for s in src_ids
+    )
+    return pairs.append_column(
+        "planted_recall_ok", pa.array([ok] * len(pairs), type=pa.bool_())
+    )
 
 
 def q_winnow_near_dup(sf_dir: str) -> pa.Table:
