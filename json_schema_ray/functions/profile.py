@@ -104,7 +104,16 @@ def stratified_sample(ds, *, group_col: str, id_col: str, frac: float):
     of each ``group_col`` group, chosen as the quota-smallest
     ``knuth_hash(id)`` values (ties broken by id — the hash is injective
     on int64 ids anyway, the tiebreak documents intent).  Returns a
-    Dataset of (group_col, id_col) rows."""
+    Dataset of (group_col, id_col) rows.
+
+    Partitioning assumption: ``group_col`` is a STRATUM column (source,
+    language, shard class — driver-small cardinality), so the quota map
+    broadcasts via closure capture; strata themselves can be arbitrarily
+    large (the partial top-k combiner bounds what reaches each group's
+    final select to ≤ quota × n_blocks rows).  For million-way group
+    columns use the hash-split assignment (``q_train_split`` shape)
+    instead — exact per-group quotas at that cardinality would need the
+    quota map as a joined side, not a broadcast."""
     from ray.data.aggregate import Count
 
     counts = ds.groupby(group_col).aggregate(Count(alias_name="n")).to_pandas()
