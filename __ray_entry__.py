@@ -2132,6 +2132,55 @@ def q_range_join(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_anti_join(sf_dir: str) -> pa.Table:
+    """Anti-join (NOT EXISTS): customers with no URGENT-priority order,
+    counted per market segment.  Scale shape: the order side is
+    predicate-filtered at the scan, collapses to distinct custkeys via
+    per-batch combiner partials BEFORE the exchange, then a native
+    left-outer hash join + null filter — never a broadcast of the
+    (web-scale) key set, never a driver-side set."""
+    from ray.data.aggregate import Count, Sum
+
+    def distinct_part(batch: pa.Table) -> pa.Table:
+        urgent = batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        g = pa.TableGroupBy(urgent.select(["o_custkey"]), "o_custkey").aggregate([])
+        return g.append_column("one", pa.array(np.ones(g.num_rows, dtype=np.int64)))
+
+    has_orders = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(distinct_part, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("one", alias_name="n_dup"))
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = cust.join(
+        has_orders, join_type="left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        none = pc.is_null(batch["n_dup"])
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_no_orders": pc.cast(none, pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(t, "c_mktsegment").aggregate([("n_no_orders", "sum")])
+        return g.rename_columns(["c_mktsegment", "n_no_orders"])
+
+    out = (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_no_orders", alias_name="n_no_orders"))
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    out["n_no_orders"] = out["n_no_orders"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -2199,6 +2248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": q_pivot_events,
         "monthly_revenue": q_monthly_revenue,
         "range_join": q_range_join,
+        "anti_join": q_anti_join,
         # rows-only, self-checked verdict columns
         "sequence_pack": q_sequence_pack,
         "group_distinct": q_group_distinct,
@@ -2660,6 +2710,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, doc_id FROM r
             WHERE rn <= CAST(ceil(0.1 * n) AS BIGINT)
             ORDER BY source, doc_id
+        """,
+        "anti_join": """
+            SELECT c_mktsegment,
+                   CAST(sum(CASE WHEN NOT EXISTS (
+                       SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT'
+                   ) THEN 1 ELSE 0 END) AS BIGINT) AS n_no_orders
+            FROM customer
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "range_join": """
             SELECT c.user_id, count(*) AS n_pairs
