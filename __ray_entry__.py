@@ -1957,7 +1957,17 @@ def q_rank_windows(sf_dir: str) -> pa.Table:
     """dense_rank + ntile(4) per segment over customer spend: distributed
     spend aggregate → native hash join to customer → per-segment
     vectorized ranking in map_groups (exact e2 integer money so rank ties
-    are deterministic across engines).  Returns the top-3 dense ranks."""
+    are deterministic across engines).  Returns the top-3 dense ranks.
+
+    Partitioning contract: exact ntile needs the group's cardinality and
+    full order, so one segment group lands on one worker — fine for
+    stratum-like partition keys (segments, languages).  When the group
+    itself is web-scale, swap the exact ntile for the engine's
+    distributed alternatives: dense-rank top-k keeps the partial top-k
+    combiner shape (`q_topk_per_group`), and quartile assignment becomes
+    two streaming passes via exact k-th selection (`q_exact_quantiles`)
+    or the TDigestQuantile aggregate — same verdicts, no whole-group
+    materialization."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
