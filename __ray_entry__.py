@@ -66,6 +66,23 @@ def _read(sf_dir: str, table: str, columns=None):
     return read_auto(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _join_partitions(small: bool = False) -> int:
+    """Exchange width for native hash joins, derived from cluster size the
+    same way the read auto-split is (pipelines/validation.py:260): ~CPU/2
+    partitions for a full fact-fact join, ~CPU/4 when one side is already a
+    small aggregate, floor 8 so few-CPU test sessions still overlap
+    build/probe.  At the 32-CPU bench profile this resolves to the tuned
+    16/8 widths; on a 256-node cluster it scales with total cores instead
+    of pinning every exchange to 16 partitions."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:
+        cpus = 32
+    return max(8, cpus // (4 if small else 2))
+
+
 def q_col_stats(sf_dir: str) -> pa.Table:
     """Per-column null-rate/min/max via two-phase map_batches partials."""
     from json_schema_ray.stages.stats import column_stats
@@ -1090,7 +1107,7 @@ def q_order_revenue_join(sf_dir: str) -> pa.Table:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = li.join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=_join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
@@ -1297,7 +1314,7 @@ def q_shipping_priority(sf_dir: str) -> pa.Table:
     ).map_batches(late_rev, batch_format="pyarrow")
 
     out = (
-        li.join(orders, join_type="inner", num_partitions=16,
+        li.join(orders, join_type="inner", num_partitions=_join_partitions(),
                 on=("l_orderkey",), right_on=("o_orderkey",))
         .groupby(["l_orderkey", "o_orderdate"])
         .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
@@ -1370,8 +1387,18 @@ def q_vocab_score(sf_dir: str) -> pa.Table:
     NOT a broadcast, because a web-scale vocabulary doesn't fit one heap —
     and re-aggregates per doc.  Scores are exact int64 sums (sum over a
     doc's token occurrences of that token's corpus frequency), so the
-    distributed result hash-matches SQL bit-for-bit."""
+    distributed result hash-matches SQL bit-for-bit.
+
+    Both join inputs are projected to explicit, fixed Arrow schemas and the
+    small counts side is materialized before Dataset.join: empty blocks
+    coming out of filter/aggregate stages can otherwise carry a degenerate
+    empty schema (Ray's "RefBundle with a different schema ... new schema: ."
+    warning), which nondeterministically broke Acero's key-field resolution
+    inside HashShuffleAggregator.finalize (round-3 driver red row)."""
     from ray.data.aggregate import Count, Sum
+
+    TOK_SCHEMA = pa.schema([("doc_id", pa.int64()), ("token", pa.string())])
+    CNT_SCHEMA = pa.schema([("token", pa.string()), ("c", pa.int64())])
 
     def tokenize(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(pc.utf8_lower(batch["text"]), "[^a-z0-9]+")
@@ -1379,14 +1406,23 @@ def q_vocab_score(sf_dir: str) -> pa.Table:
         parents = pc.list_parent_indices(toks)
         ids = pc.take(batch["doc_id"], parents)
         keep = pc.not_equal(flat, "")
-        return pa.table({"doc_id": ids, "token": flat}).filter(keep)
+        return pa.table({"doc_id": ids, "token": flat}).filter(keep).cast(TOK_SCHEMA)
+
+    def project_counts(batch: pa.Table) -> pa.Table:
+        return batch.select(["token", "c"]).cast(CNT_SCHEMA)
 
     toks = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         tokenize, batch_format="pyarrow"
     )
-    counts = toks.groupby("token").aggregate(Count(alias_name="c"))
+    counts = (
+        toks.groupby("token")
+        .aggregate(Count(alias_name="c"))
+        .map_batches(project_counts, batch_format="pyarrow")
+        .materialize()
+    )
     out = (
-        toks.join(counts, join_type="inner", num_partitions=16, on=("token",))
+        toks.join(counts, join_type="inner",
+                  num_partitions=_join_partitions(), on=("token",))
         .groupby("doc_id")
         .aggregate(Count(alias_name="n_tokens"), Sum("c", alias_name="commonness"))
         .sort(["commonness", "doc_id"], descending=[True, False])
@@ -1573,7 +1609,7 @@ def q_left_join_nulls(sf_dir: str) -> pa.Table:
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = orders.join(
-        li_agg, join_type="left_outer", num_partitions=16,
+        li_agg, join_type="left_outer", num_partitions=_join_partitions(),
         on=("o_orderkey",), right_on=("l_orderkey",),
     )
 
@@ -1986,7 +2022,7 @@ def q_rank_windows(sf_dir: str) -> pa.Table:
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = cust.join(
-        spend, join_type="inner", num_partitions=8,
+        spend, join_type="inner", num_partitions=_join_partitions(small=True),
         on=("c_custkey",), right_on=("o_custkey",),
     )
 
@@ -2164,7 +2200,7 @@ def q_anti_join(sf_dir: str) -> pa.Table:
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = cust.join(
-        has_orders, join_type="left_outer", num_partitions=8,
+        has_orders, join_type="left_outer", num_partitions=_join_partitions(small=True),
         on=("c_custkey",), right_on=("o_custkey",),
     )
 
