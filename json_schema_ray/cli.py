@@ -166,6 +166,15 @@ def _check(args) -> int:
     cs = b.compile(schema)
     cap = args.max_errors
 
+    def _partial(n: int, n_ok: int, examples: list[str]) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([n], type=pa.int64()),
+                "n_ok": pa.array([n_ok], type=pa.int64()),
+                "examples": pa.array([examples], type=pa.list_(pa.string())),
+            }
+        )
+
     def validate(batch: pa.Table) -> pa.Table:
         objs = batch.to_pylist()
         n_ok = 0
@@ -177,15 +186,39 @@ def _check(args) -> int:
             elif len(examples) < cap:
                 v = (out.errors or [None])[0]
                 examples.append(json.dumps({"row": i, "violation": str(v)})[:400])
-        return pa.table(
-            {
-                "n": pa.array([len(objs)], type=pa.int64()),
-                "n_ok": pa.array([n_ok], type=pa.int64()),
-                "examples": pa.array([examples], type=pa.list_(pa.string())),
-            }
-        )
+        return _partial(len(objs), n_ok, examples)
 
-    parts = read_auto(args.input).map_batches(validate, batch_format="pyarrow").take_all()
+    def validate_lines(batch: pa.Table) -> pa.Table:
+        # Raw-text path (reference Schema.apply-on-text semantics,
+        # js/Schema.java:41-66): each line IS the document.  Going through
+        # an inferred Arrow schema would unify fields across records —
+        # missing keys materialize as explicit nulls and keys seen only in
+        # other documents get injected — silently flipping `required`,
+        # `type`, and `additionalProperties: false` verdicts.
+        n = 0
+        n_ok = 0
+        examples: list[str] = []
+        for i, line in enumerate(batch["text"].to_pylist()):
+            if line is None or not line.strip():
+                continue
+            n += 1
+            out = cs.apply(line)
+            if out.ok:
+                n_ok += 1
+            elif len(examples) < cap:
+                v = (out.errors or [None])[0]
+                examples.append(json.dumps({"row": i, "violation": str(v)})[:400])
+        return _partial(n, n_ok, examples)
+
+    if args.input.endswith((".jsonl", ".ndjson")):
+        import ray
+
+        ds = ray.data.read_text(args.input).map_batches(
+            validate_lines, batch_format="pyarrow"
+        )
+    else:
+        ds = read_auto(args.input).map_batches(validate, batch_format="pyarrow")
+    parts = ds.take_all()
     n = sum(r["n"] for r in parts)
     n_ok = sum(r["n_ok"] for r in parts)
     examples = [e for r in parts for e in r["examples"]][:cap]

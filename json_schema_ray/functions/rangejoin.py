@@ -69,6 +69,14 @@ def range_join_counts(
 
     def intervals_fn(b: pa.Table) -> pa.Table:
         s, e = _epoch_us(b[start_col]), _epoch_us(b[end_col])
+        # Inverted intervals (end < start) match nothing; drop them here —
+        # the counts formula #(start<=t) - #(end<t) would otherwise let a
+        # same-bucket inverted row contribute -1 for points with
+        # end < t < start, silently undercounting valid intervals.
+        valid = e >= s
+        if not valid.all():
+            b = b.filter(pa.array(valid))
+            s, e = s[valid], e[valid]
         b0, b1 = s // W, e // W
         reps = (b1 - b0 + 1).clip(min=0)
         idx = np.repeat(np.arange(len(b)), reps)
@@ -161,6 +169,11 @@ def range_join_pairs(
 
     def intervals_fn(b: pa.Table) -> pa.Table:
         s, e = _epoch_us(b[start_col]), _epoch_us(b[end_col])
+        # Inverted intervals can never match; drop before replication.
+        valid = e >= s
+        if not valid.all():
+            b = b.filter(pa.array(valid))
+            s, e = s[valid], e[valid]
         iid = b[interval_id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         b0, b1 = s // W, e // W
         reps = (b1 - b0 + 1).clip(min=0)

@@ -330,6 +330,10 @@ def run_curation(
         rep.resumed_stages.append("filtered")
     else:
         _fresh(filtered_dir)
+        # stage-1 re-run (restart or resume=False): stale side-output
+        # partials from a prior attempt would be summed with the new ones,
+        # inflating drop_reasons / n_filtered — clear them together.
+        shutil.rmtree(stats_dir, ignore_errors=True)
         read_auto(input_path).map_batches(
             SignalFilter,
             fn_constructor_kwargs=dict(
@@ -410,8 +414,9 @@ def run_curation(
                 deduped, grams, n=contamination_ngram,
                 id_col=id_col, text_col=text_col,
             )
+            near = set(near_ids)
             cont_ids = [
-                i for i in hit.to_pandas()[id_col].tolist() if i not in set(near_ids)
+                i for i in hit.to_pandas()[id_col].tolist() if i not in near
             ]
         # empty drop-set keeps the dataset's actual id dtype so the
         # broadcast is_in filter and downstream unions never see a
