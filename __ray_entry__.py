@@ -1414,7 +1414,9 @@ def q_vocab_score(sf_dir: str) -> pa.Table:
     toks = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         tokenize, batch_format="pyarrow"
     )
-    counts = (
+    from json_schema_ray.stages.shuffle import drop_empty_blocks
+
+    counts = drop_empty_blocks(
         toks.groupby("token")
         .aggregate(Count(alias_name="c"))
         .map_batches(project_counts, batch_format="pyarrow")

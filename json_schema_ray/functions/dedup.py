@@ -462,6 +462,213 @@ def dedup_clusters(pairs: pa.Table, id_col: str = "doc_id") -> pa.Table:
     )
 
 
+def dedup_clusters_distributed(
+    pairs,
+    id_col: str = "doc_id",
+    *,
+    num_partitions: int | None = None,
+    max_rounds: int = 64,
+):
+    """Connected components over a candidate-pair **Dataset** via
+    iterative min-label propagation with pointer jumping — the scale path
+    for web-crawl dup rates where the pair set is billions of rows and the
+    driver union-find (:func:`dedup_clusters`) would melt.  All state
+    lives in Dataset exchanges; the driver only ever sees a per-round
+    changed-row count.
+
+    Algorithm (hash-to-min family, cf. Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): symmetrize edges once, seed
+    ``label(v) = min(v, neighbors(v))``, then per round (1) propagate
+    ``label(src)`` across every edge and take the per-node min, and
+    (2) pointer-jump ``label(v) <- label(label(v))``.  Labels decrease
+    monotonically to each component's minimum id, so the fixpoint arrives
+    in O(log diameter) rounds; a round is two native hash joins plus a
+    groupby-min, each bounded by |pairs| / |ids touched by pairs|.
+
+    Canonical survivor = the component's **minimum id under the column's
+    natural order** (int ids numerically); the driver fast path unions by
+    string order, so the two paths agree on cluster *membership* always
+    and on the survivor whenever string and natural order coincide
+    (uniform-width or string ids).
+
+    Returns a Dataset of ``(id_col, cluster_id, keep)`` — same contract
+    as :func:`dedup_clusters`, one ``keep=True`` row per cluster.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    if isinstance(pairs, pa.Table):
+        pairs = rd.from_arrow(pairs)
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
+        except Exception:
+            num_partitions = 8
+
+    def _arr(col):
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+    def sym(b: pa.Table) -> pa.Table:
+        a, bb = _arr(b["id_a"]), _arr(b["id_b"])
+        return pa.table(
+            {"src": pa.concat_arrays([a, bb]), "dst": pa.concat_arrays([bb, a])}
+        )
+
+    from ..stages.shuffle import drop_empty_blocks
+
+    edges = drop_empty_blocks(pairs.map_batches(sym, batch_format="pyarrow").materialize())
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], type=pa.string()),
+                    "cluster_id": pa.array([], type=pa.string()),
+                    "keep": pa.array([], type=pa.bool_()),
+                }
+            )
+        )
+
+    # Every intermediate stage conforms to an explicit schema: aggregate /
+    # join outputs can emit EMPTY blocks with a degenerate empty schema
+    # (Ray's "RefBundle with a different schema ... new schema: ."), which
+    # breaks Acero's key-field resolution inside the downstream hash join.
+    id_type = edges.schema().base_schema.field("src").type
+    LBL = pa.schema([("src", id_type), ("lbl", id_type)])
+    MAPPING = pa.schema([("k", id_type), ("lbl2", id_type)])
+    OLD = pa.schema([("src", id_type), ("old", id_type)])
+
+    def _project(out_schema: pa.Schema, **rename):
+        """UDF factory: rename/select columns into a fixed schema; empty or
+        degenerate batches come out as typed empty tables."""
+
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return out_schema.empty_table()
+            return pa.table(
+                {dst: b[src_name] for dst, src_name in rename.items()}
+            ).cast(out_schema)
+
+        return f
+
+    def self_loop(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("src", id_type), ("dst", id_type)]).empty_table()
+        return pa.table({"src": b["src"], "dst": b["src"]})
+
+    labels = (
+        edges.union(edges.map_batches(self_loop, batch_format="pyarrow"))
+        .groupby("src")
+        .aggregate(Min("dst", alias_name="lbl"))
+        .map_batches(_project(LBL, src="src", lbl="lbl"), batch_format="pyarrow")
+        .materialize()
+    )
+    labels = drop_empty_blocks(labels)
+
+    def count_changed(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"c": pa.array([0], type=pa.int64())})
+        n = pc.sum(pc.cast(pc.not_equal(b["lbl"], b["old"]), pa.int64())).as_py()
+        return pa.table({"c": pa.array([int(n or 0)], type=pa.int64())})
+
+    for _ in range(max_rounds):
+        # (1) every edge proposes label(src) to dst; per-node min with own
+        prop = edges.join(labels, "inner", num_partitions, on=("src",))
+        new = (
+            prop.map_batches(_project(LBL, src="dst", lbl="lbl"), batch_format="pyarrow")
+            .union(labels)
+            .groupby("src")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .map_batches(_project(LBL, src="src", lbl="lbl"), batch_format="pyarrow")
+            .materialize()
+        )
+        new = drop_empty_blocks(new)
+        # (2) pointer jump: label(v) <- label(label(v)); every label is an
+        # id that itself carries a label row, so the inner join is total
+        mapping = new.map_batches(
+            _project(MAPPING, k="src", lbl2="lbl"), batch_format="pyarrow"
+        )
+        new = (
+            new.join(mapping, "inner", num_partitions, on=("lbl",), right_on=("k",))
+            .map_batches(_project(LBL, src="src", lbl="lbl2"), batch_format="pyarrow")
+            .materialize()
+        )
+        new = drop_empty_blocks(new)
+        changed = (
+            new.join(
+                labels.map_batches(
+                    _project(OLD, src="src", old="lbl"), batch_format="pyarrow"
+                ),
+                "inner",
+                num_partitions,
+                on=("src",),
+            )
+            .map_batches(count_changed, batch_format="pyarrow")
+            .sum("c")
+        )
+        labels = new
+        if not changed:
+            break
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b["src"],
+                "cluster_id": b["lbl"],
+                "keep": pc.equal(b["src"], b["lbl"]),
+            }
+        )
+
+    OUT = pa.schema([(id_col, id_type), ("cluster_id", id_type), ("keep", pa.bool_())])
+
+    def finish_safe(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return OUT.empty_table()
+        return finish(b).cast(OUT)
+
+    return labels.map_batches(finish_safe, batch_format="pyarrow")
+
+
+def drop_near_dups_distributed(ds, pairs, id_col: str = "doc_id", *, num_partitions: int | None = None):
+    """One survivor per near-dup cluster with **no driver materialization
+    anywhere**: clusters resolve via :func:`dedup_clusters_distributed`,
+    and the corpus anti-joins the (id, drop-marker) table instead of
+    broadcasting a drop set — the shape for web-crawl dup rates where the
+    drop set itself is too large for one heap.  Costs one left-outer
+    exchange of the big side; prefer :func:`drop_near_dups` while the drop
+    set fits a broadcast."""
+    import ray
+
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
+        except Exception:
+            num_partitions = 8
+    clusters = dedup_clusters_distributed(pairs, id_col, num_partitions=num_partitions)
+
+    id_type = clusters.schema().base_schema.field(id_col).type
+    DROPS = pa.schema([(id_col, id_type), ("__drop__", pa.bool_())])
+
+    def to_drops(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return DROPS.empty_table()
+        t = b.filter(pc.invert(b["keep"]))
+        return pa.table(
+            {id_col: t[id_col], "__drop__": pa.array([True] * t.num_rows, type=pa.bool_())}
+        ).cast(DROPS)
+
+    drops = clusters.map_batches(to_drops, batch_format="pyarrow")
+
+    def keep_unmarked(b: pa.Table) -> pa.Table:
+        if "__drop__" not in b.schema.names:
+            return b
+        return b.filter(pc.is_null(b["__drop__"])).drop(["__drop__"])
+
+    return ds.join(drops, "left_outer", num_partitions, on=(id_col,)).map_batches(
+        keep_unmarked, batch_format="pyarrow"
+    )
+
+
 def drop_near_dups(ds, pairs: pa.Table, id_col: str = "doc_id"):
     """Filter a Dataset down to one survivor per near-dup cluster: the
     (small) drop-set broadcasts into an ``is_in`` filter inside the scan

@@ -53,7 +53,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.dedup import dedup_clusters, minhash_lsh_candidates
+from ..functions.dedup import (
+    dedup_clusters,
+    dedup_clusters_distributed,
+    minhash_lsh_candidates,
+)
+
+# above this many candidate pairs, cluster resolution leaves the driver
+# (iterative min-label propagation, functions/dedup.py); below it the
+# union-find fast path wins on latency
+DISTRIBUTED_PAIRS_THRESHOLD = 2_000_000
 from ..functions.text import (
     TOKEN_RE,
     WS_TOKEN_RE,
@@ -403,8 +412,25 @@ def run_curation(
         pairs = pairs.filter(pc.greater_equal(pairs["est_jaccard"], near_dup_threshold))
         near_ids: list = []
         if pairs.num_rows:
-            clusters = dedup_clusters(pairs, id_col)
-            near_ids = clusters.filter(pc.invert(clusters["keep"]))[id_col].to_pylist()
+            if pairs.num_rows > DISTRIBUTED_PAIRS_THRESHOLD:
+                # pair set too large for driver union-find: resolve via
+                # iterative min-label propagation; the driver collects only
+                # the drop ids (∝ near-dups) for the broadcast filter
+                cl_ds = dedup_clusters_distributed(pairs, id_col)
+                drops_t = cl_ds.map_batches(
+                    lambda b: b.filter(pc.invert(b["keep"])).select([id_col]),
+                    batch_format="pyarrow",
+                ).to_arrow_refs()
+                import ray as _ray
+
+                near_ids = [
+                    i
+                    for ref in drops_t
+                    for i in _ray.get(ref)[id_col].to_pylist()
+                ]
+            else:
+                clusters = dedup_clusters(pairs, id_col)
+                near_ids = clusters.filter(pc.invert(clusters["keep"]))[id_col].to_pylist()
         cont_ids: list = []
         if benchmark_texts is not None and benchmark_texts.num_rows:
             grams = doc_word_ngrams(

@@ -163,3 +163,28 @@ def exact_distinct_count(ds: "ray.data.Dataset", key: str, n_buckets: int = 64) 
 
     parts = _count_mapreduce(ds, key, n_buckets, ndistinct)
     return int(sum(p["n"][0].as_py() for p in parts)) if parts else 0
+
+
+def drop_empty_blocks(ds):
+    """Rebuild a Dataset from its non-empty block refs (refs only — no
+    block data touches the driver).
+
+    Why this exists: Ray's map operators never invoke the UDF on an empty
+    input block, so a hash-aggregate's empty partitions survive *through*
+    any schema-conforming ``map_batches`` as zero-column blocks.  The
+    hash-shuffle join then broadcasts its key schema off the FIRST block
+    of each input sequence (``hash_shuffle.py`` ``send_empty_blocks``
+    path) — a degenerate first block nondeterministically breaks Acero's
+    key-field resolution ("No match or multiple matches for key field
+    reference ...").  Call this on a materialized Dataset before feeding
+    it into ``Dataset.join``.
+    """
+    import ray.data as rd
+
+    refs = [
+        block_ref
+        for bundle in ds.iter_internal_ref_bundles()
+        for block_ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    return rd.from_arrow_refs(refs) if refs else ds
