@@ -10,7 +10,9 @@ engine; compile-once → immutable, reusable, worker-shippable plans:
 | setRegexFactory (:293-297)                  | set_regex_flavor           |
 | registerResourceLoader (:103-133)           | register_schema (pre-load) |
 | external $ref resolvers (:153-156,:228-285) | register_schema(uri=...)   |
-| content validators (:189-208)               | set_content_processing     |
+| content validators (:189-208)               | set_content_processing,    |
+|                                              | add_content_encoding,      |
+|                                              | add_content_media_type     |
 | scheduler injection (:331-347)              | (Ray owns scheduling)      |
 | treatObjectAsArray (:163-166)               | treat_object_as_array      |
 """
@@ -36,6 +38,8 @@ class ConstraintEngineBuilder:
         self._dialect: str | None = None
         self._formats_assert = False
         self._content = "default"
+        self._content_encodings: dict[str, Callable[[str], Any]] = {}
+        self._content_media_types: list[tuple] = []
         self._treat_object_as_array = False
 
     def dialect(self, d: str) -> "ConstraintEngineBuilder":
@@ -115,6 +119,44 @@ class ConstraintEngineBuilder:
         self._content = mode
         return self
 
+    def add_content_encoding(
+        self, name: str, decode_fn: Callable[[str], Any]
+    ) -> "ConstraintEngineBuilder":
+        """Custom (or replacement) ``contentEncoding`` codec
+        (``SchemaBuilder.addContentEncodingValidator``,
+        ``js/SchemaBuilder.java:180-194``): ``decode_fn`` receives the
+        encoded string and returns the decoded value (bytes or str), or
+        raises if the value is not validly encoded — the ``ExceptionableOp``
+        contract.  Names are case-insensitive; registering a built-in name
+        (e.g. ``base64``) replaces the default decoder.  The decoded value
+        feeds the ``contentMediaType`` check and ``contentSchema``
+        (chain assembly: ``ContentUtils.java:27-87``)."""
+        self._content_encodings[name] = decode_fn
+        return self
+
+    def add_content_media_type(
+        self,
+        media_type: str | Callable[[str], bool],
+        check_fn: Callable[[Any], Any],
+    ) -> "ConstraintEngineBuilder":
+        """Custom ``contentMediaType`` validator
+        (``SchemaBuilder.addContentMediaTypeValidator``,
+        ``js/SchemaBuilder.java:196-208``): ``media_type`` is either an
+        exact name (case-insensitive) or a predicate over the media-type
+        string (the ``Predicate<MimeType>`` analog); ``check_fn`` receives
+        the DECODED bytes and raises if validation fails — the
+        ``ExceptionableCons`` contract."""
+        if callable(media_type):
+            pred = media_type
+        else:
+            want = media_type.lower()
+
+            def pred(m: str, _w=want) -> bool:
+                return isinstance(m, str) and m.lower() == _w
+
+        self._content_media_types.append((pred, check_fn))
+        return self
+
     def treat_object_as_array(self, on: bool = True) -> "ConstraintEngineBuilder":
         self._treat_object_as_array = on
         return self
@@ -127,6 +169,8 @@ class ConstraintEngineBuilder:
             content_processing=self._content,
             format_predicates=self._formats or None,
             regex_flavor=self._regex_flavor,
+            content_encodings=self._content_encodings or None,
+            content_media_types=self._content_media_types or None,
         )
         compiler.treat_object_as_array = self._treat_object_as_array
         return compiler.compile(schema, uri)

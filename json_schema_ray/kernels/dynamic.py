@@ -181,6 +181,52 @@ def detect_dialect(schema_uri: Any) -> str | None:
     return DIALECT_URIS.get(schema_uri.rstrip("#"))
 
 
+# ---- $vocabulary-driven dialect construction --------------------------------
+# The reference builds a dialect as a SET of vocabularies, each owning its
+# keyword compilers (js/dialects/Dialect.java:103-109 optCompiler,
+# js/dialects/DialectRegistry.java:26-60, VocabularyCompilersRegistry.java:16-60);
+# a meta-schema's $vocabulary replaces the default set
+# (DialectResolver.tryApplyVocabularies, js/dialects/DialectResolver.java:53-73):
+# listed+known vocabularies stay active, unknown+required raises, unknown+
+# optional is dropped, and keywords of vocabularies NOT listed are ignored.
+_V2020 = "https://json-schema.org/draft/2020-12/vocab/"
+_V2019 = "https://json-schema.org/draft/2019-09/vocab/"
+VOCAB_URI_KEYS = {
+    _V2020 + "core": "core",
+    _V2020 + "applicator": "applicator",
+    _V2020 + "unevaluated": "unevaluated",
+    _V2020 + "validation": "validation",
+    _V2020 + "meta-data": "metadata",
+    _V2020 + "format-annotation": "format-annotation",
+    _V2020 + "format-assertion": "format-assertion",
+    _V2020 + "content": "content",
+    _V2019 + "core": "core",
+    _V2019 + "applicator": "applicator",
+    _V2019 + "validation": "validation",
+    _V2019 + "meta-data": "metadata",
+    _V2019 + "format": "format",
+    _V2019 + "content": "content",
+}
+KEYWORD_VOCAB = {
+    **{kw: "applicator" for kw in (
+        "allOf", "anyOf", "oneOf", "not", "if", "then", "else",
+        "items", "prefixItems", "additionalItems", "contains",
+        "properties", "patternProperties", "additionalProperties",
+        "dependentSchemas", "propertyNames",
+    )},
+    **{kw: "unevaluated" for kw in ("unevaluatedItems", "unevaluatedProperties")},
+    **{kw: "validation" for kw in (
+        "type", "enum", "const", "multipleOf",
+        "maximum", "exclusiveMaximum", "minimum", "exclusiveMinimum",
+        "maxLength", "minLength", "pattern",
+        "maxItems", "minItems", "uniqueItems", "maxContains", "minContains",
+        "maxProperties", "minProperties", "required", "dependentRequired",
+    )},
+    "format": "format",
+    **{kw: "content" for kw in ("contentEncoding", "contentMediaType", "contentSchema")},
+}
+
+
 class DynamicCompiler:
     """One compiler instance per (registry, dialect, options) — the analog of
     ``SchemaBuilder`` fold → ``Compiler.compileSchema``
@@ -194,6 +240,8 @@ class DynamicCompiler:
         content_processing: str = "default",  # disable|default|encoding|encoding_and_schema
         format_predicates: dict | None = None,
         regex_flavor: Callable[[str], Any] | None = None,
+        content_encodings: dict | None = None,
+        content_media_types: list | None = None,
     ):
         self.registry = registry or SchemaRegistry()
         # dialect=None → auto-detect from the root "$schema" at compile time
@@ -207,10 +255,22 @@ class DynamicCompiler:
         if format_predicates:
             self.formats.update(format_predicates)
         self._re_compile = regex_flavor or (lambda p: re.compile(p))
+        # custom content codecs / media-type checks (SchemaBuilder
+        # addContentEncodingValidator / addContentMediaTypeValidator,
+        # js/SchemaBuilder.java:189-208): encoding names are
+        # case-insensitive and OVERRIDE the built-in decoders; media-type
+        # entries are (predicate(mime)->bool, check(decoded)->None-or-raise)
+        self.content_encodings = {
+            k.lower(): f for k, f in (content_encodings or {}).items()
+        }
+        self.content_media_types = list(content_media_types or [])
         self._memo: dict[tuple, list] = {}  # key -> [evaluator or None]
         # experimental object→array coercion for `items`
         # (SchemaBuilder.treatObjectAsArray, Items2020CompilerFactory:101-117)
         self.treat_object_as_array = False
+        # $vocabulary state (set per compile() by _apply_vocabularies)
+        self._active_vocabs: set | None = None
+        self._format_assertion_vocab = False
 
     # ------------------------------------------------------------- entry
 
@@ -222,9 +282,78 @@ class DynamicCompiler:
             # dialect into a $schema-less schema.
             d = detect_dialect(schema.get("$schema")) if isinstance(schema, dict) else None
             self.dialect = d or "2020-12"
+        # $vocabulary resolution — reset per compile() like the dialect
+        self._active_vocabs: set | None = None
+        self._format_assertion_vocab = False
+        if isinstance(schema, dict) and isinstance(schema.get("$schema"), str):
+            self._apply_vocabularies(schema)
         base = self.registry.register(schema, uri or DEFAULT_BASE)
         fn = self._compile(schema, base)
         return CompiledSchema(fn, base)
+
+    # ----------------------------------------------------------- $vocabulary
+
+    def _apply_vocabularies(self, schema: dict) -> None:
+        """Mirror ``DialectResolver.resolveDialect``
+        (``js/dialects/DialectResolver.java:31-73``): a known ``$schema``
+        applies the schema's OWN ``$vocabulary`` if present (the
+        compile-a-meta-schema case); an unknown ``$schema`` loads the
+        meta-schema through the registry and applies *its* ``$vocabulary``
+        (base dialect = the meta-schema's own ``$schema``).  Deviation
+        (documented): an unresolvable unknown ``$schema`` falls back to the
+        2020-12 default instead of raising "Unsupported dialect" — lenient
+        by design so $schema-less-equivalent corpora keep compiling."""
+        s_uri = schema["$schema"].rstrip("#")
+        meta = None
+        if detect_dialect(s_uri) is not None:
+            meta = schema if isinstance(schema.get("$vocabulary"), dict) else None
+        else:
+            try:
+                meta, _mbase = self.registry.resolve(s_uri, DEFAULT_BASE)
+            except Exception:
+                return
+            if not isinstance(meta, dict):
+                return
+            d = detect_dialect(meta.get("$schema"))
+            if d is not None and not self._dialect_explicit:
+                self.dialect = d
+        if meta is None:
+            return
+        vocabs = meta.get("$vocabulary")
+        if not isinstance(vocabs, dict):
+            return
+        active: set = set()
+        for vuri, state in vocabs.items():
+            key = VOCAB_URI_KEYS.get(str(vuri).rstrip("#"))
+            if key is None:
+                if state:
+                    # DialectResolver.checkVocabulary: required-but-unknown
+                    raise ValueError(f"unknown required vocabulary {vuri!r}")
+                continue  # optional unknown vocabulary: dropped
+            # known vocabularies stay active regardless of the boolean
+            # (Dialect.create keeps every resolvable vocabulary; the boolean
+            # only means required-to-understand — Dialect.java:28-44)
+            active.add(key)
+            if key == "format-assertion" and state:
+                # Dialect.isAssertionRequired (Dialect.java:45-49)
+                self._format_assertion_vocab = True
+        self._active_vocabs = active
+
+    def _kw_enabled(self, kw: str) -> bool:
+        av = self._active_vocabs
+        if av is None:
+            return True
+        voc = KEYWORD_VOCAB.get(kw)
+        if voc is None:
+            return True  # core/$ref machinery and metadata no-ops unaffected
+        if voc == "unevaluated":
+            # 2019-09 folds unevaluated* into the applicator vocabulary
+            return "unevaluated" in av or (
+                self.dialect == "2019-09" and "applicator" in av
+            )
+        if voc == "format":
+            return bool(av & {"format-annotation", "format-assertion", "format"})
+        return voc in av
 
     # ------------------------------------------------------- recursion-safe
 
@@ -277,6 +406,11 @@ class DynamicCompiler:
         reg = self.registry
         base = reg.base_of(sch, base)
         dialect = self.dialect
+        if self._active_vocabs is not None:
+            # keywords owned by vocabularies absent from the meta-schema's
+            # $vocabulary get no compiler → ignored (Dialect.optCompiler
+            # over the active set only, Dialect.java:103-109)
+            sch = {kk: vv for kk, vv in sch.items() if self._kw_enabled(kk)}
 
         # draft-07: $ref replaces all siblings (RefCompiler.java:50-66)
         if dialect == "draft7" and "$ref" in sch:
@@ -458,7 +592,11 @@ class DynamicCompiler:
                 return _fail("PATTERN", ip, "/pattern", v, _p)
 
             k(v_pat)
-        if "format" in sch and self.formats_assert and isinstance(sch["format"], str):
+        if (
+            "format" in sch
+            and (self.formats_assert or self._format_assertion_vocab)
+            and isinstance(sch["format"], str)
+        ):
             fmt = sch["format"]
             pred = self.formats.get(fmt)
             if pred is not None:
@@ -474,7 +612,10 @@ class DynamicCompiler:
         assert_content = self.content_processing in ("encoding", "encoding_and_schema") or (
             self.content_processing == "default" and dialect == "draft7"
         )
-        if assert_content and "contentEncoding" in sch:
+        # fires on contentEncoding OR contentMediaType (the reference chain
+        # starts from either link; contentSchema alone resolves no
+        # validator — ContentUtils.java:62-64,81)
+        if assert_content and ("contentEncoding" in sch or "contentMediaType" in sch):
             k(self._content_validator(sch, base))
 
         # ---- objects --------------------------------------------------
@@ -871,7 +1012,29 @@ class DynamicCompiler:
             else None
         )
 
+        custom_decode = (
+            self.content_encodings.get(enc.lower()) if isinstance(enc, str) else None
+        )
+        custom_check = None
+        if mtype is not None:
+            for pred, check in self.content_media_types:
+                try:
+                    matches = pred(mtype)
+                except Exception:
+                    matches = False
+                if matches:
+                    custom_check = check
+                    break
+
         def decode(s: str):
+            # custom codec overrides the built-in decoder for its name
+            # (SchemaBuilder.addContentEncodingValidator: "Add custom or
+            # replace default", js/SchemaBuilder.java:180-194); the fn
+            # returns the decoded value or raises on invalid input,
+            # mirroring ExceptionableOp
+            if custom_decode is not None:
+                out = custom_decode(s)
+                return out if isinstance(out, (bytes, bytearray)) else str(out).encode()
             if enc == "base64":
                 return base64.b64decode(s, validate=True)
             if enc in (None, "7bit", "8bit", "binary"):
@@ -880,6 +1043,8 @@ class DynamicCompiler:
                 import quopri
 
                 return quopri.decodestring(s.encode())
+            # unknown encoding with no registered codec: identity
+            # (ContentUtils.IDENTITY fallback, ContentUtils.java:24,35-41)
             return s.encode()
 
         def v_content(v, sc, ip, _m=mtype, _cs=csub):
@@ -887,14 +1052,25 @@ class DynamicCompiler:
                 return _OK
             try:
                 raw = decode(v)
-            except (binascii.Error, ValueError):
+            except Exception:
                 return _fail("CONTENT_ENCODING", ip, "/contentEncoding", enc)
-            if _m == "application/json" or _cs is not None:
+            # chain order: encoding -> media type -> contentSchema
+            # (ContentUtils.prepareValidation, ContentUtils.java:27-87)
+            if custom_check is not None:
+                try:
+                    custom_check(raw)
+                except Exception:
+                    return _fail("CONTENT_TYPE", ip, "/contentMediaType", _m)
+            if (_m == "application/json" and custom_check is None) or _cs is not None:
                 try:
                     parsed = json.loads(raw.decode("utf-8"), parse_float=Fraction)
                 except (ValueError, UnicodeDecodeError):
-                    if _m is not None:
+                    if _m is not None and custom_check is None:
                         return _fail("CONTENT_TYPE", ip, "/contentMediaType", _m)
+                    if _cs is not None and custom_check is not None:
+                        # media type vouched for by the custom check but the
+                        # payload is not JSON -> the contentSchema step fails
+                        return _fail("CONTENT_SCHEMA", ip, "/contentSchema")
                     return _OK
                 if _cs is not None and not _cs(parsed, sc, ip).ok:
                     return _fail("CONTENT_SCHEMA", ip, "/contentSchema")

@@ -118,3 +118,82 @@ def test_file_loader_and_dialect_detection(tmp_path):
 
     with _pytest.raises(KeyError):
         ConstraintEngineBuilder().compile({"$ref": "classpath://nope/x.json"})
+
+
+def test_custom_content_encoding_base32():
+    """add_content_encoding: base32 codec plugs into the chain
+    (encoding -> media type -> contentSchema, ContentUtils.java:27-87) —
+    both the decode-validity path and the decoded-value flow into
+    contentSchema."""
+    import base64 as b64mod
+    import json as jsonmod
+
+    def base32_decode(s: str) -> bytes:
+        return b64mod.b32decode(s, casefold=False)
+
+    eng = (
+        ConstraintEngineBuilder()
+        .add_content_encoding("base32", base32_decode)
+        .set_content_processing("encoding_and_schema")
+    )
+    enc_only = eng.compile({"contentEncoding": "base32"})
+    payload = b64mod.b32encode(b"hello").decode()
+    assert enc_only.is_valid(payload)
+    assert not enc_only.is_valid("not-base32!!!")
+    assert enc_only.is_valid(123)  # non-strings pass
+
+    # decoded bytes feed contentSchema (JSON parse of the decoded value)
+    doc = b64mod.b32encode(jsonmod.dumps({"n": 5}).encode()).decode()
+    chained = eng.compile(
+        {
+            "contentEncoding": "base32",
+            "contentMediaType": "application/json",
+            "contentSchema": {"required": ["n"], "properties": {"n": {"minimum": 3}}},
+        }
+    )
+    assert chained.is_valid(doc)
+    bad = b64mod.b32encode(jsonmod.dumps({"n": 1}).encode()).decode()
+    out = chained.evaluate(bad)
+    assert not out.ok and any("contentSchema" in str(v) or "CONTENT_SCHEMA" in str(v) for v in out.errors)
+
+
+def test_custom_content_media_type_and_override():
+    """add_content_media_type: exact-name (case-insensitive) and predicate
+    registration; check_fn raising fails CONTENT_TYPE.  Registering a
+    built-in encoding name replaces the default decoder."""
+
+    def require_magic(raw: bytes) -> None:
+        if not raw.startswith(b"MAGIC"):
+            raise ValueError("bad payload")
+
+    eng = (
+        ConstraintEngineBuilder()
+        .add_content_media_type("application/x-magic", require_magic)
+        .set_content_processing("encoding")
+    )
+    cs = eng.compile({"contentMediaType": "application/X-Magic"})
+    assert cs.is_valid("MAGIC payload")
+    assert not cs.is_valid("no magic here")
+
+    # predicate form: any vendor subtype
+    eng2 = (
+        ConstraintEngineBuilder()
+        .add_content_media_type(lambda m: m.startswith("application/vnd."), require_magic)
+        .set_content_processing("encoding")
+    )
+    cs2 = eng2.compile({"contentMediaType": "application/vnd.acme+blob"})
+    assert cs2.is_valid("MAGICstuff") and not cs2.is_valid("nope")
+    # unmatched media types keep default behavior (no validator -> pass)
+    cs3 = eng2.compile({"contentMediaType": "text/unknown-thing"})
+    assert cs3.is_valid("anything")
+
+    # replacing a BUILT-IN codec: base64 that only accepts urlsafe alphabet
+    import base64 as b64mod
+
+    eng4 = (
+        ConstraintEngineBuilder()
+        .add_content_encoding("BASE64", lambda s: b64mod.urlsafe_b64decode(s))
+        .set_content_processing("encoding")
+    )
+    cs4 = eng4.compile({"contentEncoding": "base64"})
+    assert cs4.is_valid(b64mod.urlsafe_b64encode(b"\xfb\xff").decode())

@@ -186,3 +186,106 @@ def test_draft7_uri_with_fragment():
         cs = b.compile({"$ref": uri})
         assert cs.is_valid({"type": "string"})
         assert not cs.is_valid({"type": 12})
+
+
+# ---- $vocabulary-driven dialect construction --------------------------------
+# DialectResolver.tryApplyVocabularies (js/dialects/DialectResolver.java:53-73)
+# + Dialect.isAssertionRequired (js/dialects/Dialect.java:45-49).
+
+_V2020 = "https://json-schema.org/draft/2020-12/vocab/"
+
+
+def _meta(vocabs: dict, uri: str = "https://example.com/meta/custom") -> dict:
+    return {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "$id": uri,
+        "$vocabulary": vocabs,
+    }
+
+
+def test_vocabulary_format_assertion_flips_verdict():
+    """A custom meta-schema that turns ON the format-assertion vocabulary
+    makes `format` assert — same schema, different meta, different verdict."""
+    from json_schema_ray.builder import ConstraintEngineBuilder
+
+    uri = "https://example.com/meta/format-strict"
+    meta = _meta(
+        {
+            _V2020 + "core": True,
+            _V2020 + "applicator": True,
+            _V2020 + "validation": True,
+            _V2020 + "format-assertion": True,
+        },
+        uri,
+    )
+    sch = {"$schema": uri, "format": "ipv4"}
+    strict = ConstraintEngineBuilder().register_schema(uri, meta).compile(sch)
+    assert strict.is_valid("127.0.0.1")
+    assert not strict.is_valid("999.1.1.1")
+
+    # default 2020-12 (format-annotation): same schema, annotation only
+    lax = ConstraintEngineBuilder().compile({"format": "ipv4"})
+    assert lax.is_valid("999.1.1.1")
+
+
+def test_vocabulary_disabled_validation_ignores_keywords():
+    """Keywords of vocabularies absent from $vocabulary are not compiled:
+    a meta-schema without the validation vocabulary ignores `minimum`
+    but still applies applicator subschemas' structure."""
+    from json_schema_ray.builder import ConstraintEngineBuilder
+
+    uri = "https://example.com/meta/no-validation"
+    meta = _meta(
+        {_V2020 + "core": True, _V2020 + "applicator": True},
+        uri,
+    )
+    b = ConstraintEngineBuilder().register_schema(uri, meta)
+    cs = b.compile({"$schema": uri, "minimum": 10})
+    assert cs.is_valid(5)  # minimum ignored (validation vocab absent)
+    # `not` (applicator) still active; its inner `const` (validation) is
+    # ignored -> the inner schema matches everything -> `not` fails all
+    cs2 = b.compile({"$schema": uri, "not": {"const": 1}})
+    assert not cs2.is_valid(99) and not cs2.is_valid(1)
+    # sanity: same schemas under the stock dialect behave normally
+    assert not ConstraintEngineBuilder().compile({"minimum": 10}).is_valid(5)
+    assert ConstraintEngineBuilder().compile({"not": {"const": 1}}).is_valid(99)
+
+
+def test_vocabulary_unknown_required_raises_optional_dropped():
+    from json_schema_ray.builder import ConstraintEngineBuilder
+
+    import pytest
+
+    uri_req = "https://example.com/meta/unknown-required"
+    meta_req = _meta(
+        {_V2020 + "core": True, "https://example.com/vocab/made-up": True}, uri_req
+    )
+    b = ConstraintEngineBuilder().register_schema(uri_req, meta_req)
+    with pytest.raises(ValueError, match="unknown required vocabulary"):
+        b.compile({"$schema": uri_req, "type": "integer"})
+
+    uri_opt = "https://example.com/meta/unknown-optional"
+    meta_opt = _meta(
+        {
+            _V2020 + "core": True,
+            _V2020 + "validation": True,
+            "https://example.com/vocab/made-up": False,
+        },
+        uri_opt,
+    )
+    cs = (
+        ConstraintEngineBuilder()
+        .register_schema(uri_opt, meta_opt)
+        .compile({"$schema": uri_opt, "type": "integer"})
+    )
+    assert cs.is_valid(3) and not cs.is_valid("x")
+
+
+def test_vocabulary_unresolvable_schema_uri_falls_back():
+    """Documented deviation: unknown unresolvable $schema keeps compiling
+    under the 2020-12 default instead of raising (reference throws
+    'Unsupported dialect', DialectResolver.java:46)."""
+    from json_schema_ray.kernels.dynamic import compile_schema
+
+    cs = compile_schema({"$schema": "https://nowhere.invalid/meta", "minimum": 3})
+    assert cs.is_valid(5) and not cs.is_valid(1)
