@@ -2001,11 +2001,12 @@ def q_rank_windows(sf_dir: str) -> pa.Table:
     full order, so one segment group lands on one worker — fine for
     stratum-like partition keys (segments, languages).  When the group
     itself is web-scale, swap the exact ntile for the engine's
-    distributed alternatives: dense-rank top-k keeps the partial top-k
-    combiner shape (`q_topk_per_group`), and quartile assignment becomes
-    two streaming passes via exact k-th selection (`q_exact_quantiles`)
-    or the TDigestQuantile aggregate — same verdicts, no whole-group
-    materialization."""
+    distributed alternatives — both are CODE and oracled, not prose:
+    quartile boundaries via exact k-th selection without whole-group
+    materialization (`q_ntile_boundaries` →
+    functions/profile.exact_group_rank_select), dense-rank top-k via the
+    per-batch top-k-distinct combiner (`q_dense_rank_topk`); the
+    TDigestQuantile aggregate remains the sketch option."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
@@ -2047,6 +2048,84 @@ def q_rank_windows(sf_dir: str) -> pa.Table:
     )
     for c in ("spend_e2", "drank", "tile"):
         out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_ntile_boundaries(sf_dir: str) -> pa.Table:
+    """Exact ntile(4) quartile boundaries per event_type — the DISTRIBUTED
+    swap contracted in q_rank_windows's docstring, as code: per-group
+    boundary ranks r_j = j·(n//4) + min(j, n mod 4) resolve to exact
+    boundary values via functions/profile.exact_group_rank_select (two
+    streaming passes: deterministic sample brackets + below-count/in-bracket
+    collect), never materializing a group.  Groups here are high-cardinality
+    (tens of thousands of rows per event_type) and no worker ever holds
+    one."""
+    from json_schema_ray.functions.profile import exact_group_rank_select
+
+    def to_e4(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "event_id": batch["event_id"],
+                "e4": pc.cast(pc.round(pc.multiply(batch["value"], 10000.0)), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "event_id", "value"]).map_batches(
+        to_e4, batch_format="pyarrow"
+    )
+
+    def quartile_ranks(n: int):
+        return [(j, j * (n // 4) + min(j, n % 4)) for j in (1, 2, 3)]
+
+    t = exact_group_rank_select(
+        ds, group_col="event_type", value_col="e4", id_col="event_id",
+        rank_fn=quartile_ranks,
+    )
+    return t.rename_columns(["event_type", "tile", "boundary_rank", "boundary_e4"])
+
+
+def q_dense_rank_topk(sf_dir: str) -> pa.Table:
+    """dense_rank ≤ 3 per event_type over DISTINCT e4 values — the other
+    distributed rank-window swap: a per-batch top-3-distinct partial
+    combiner bounds the exchange to 3 rows per (batch, group); the final
+    per-group merge sees ≤ 3·n_blocks rows, never the group."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e4 = pc.cast(pc.round(pc.multiply(batch["value"], 10000.0)), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        grp = batch["event_type"].to_numpy(zero_copy_only=False)
+        gs, vs = [], []
+        for g in np.unique(grp):
+            top = np.unique(e4[grp == g])[-3:]  # 3 largest distinct
+            gs.extend([g] * len(top))
+            vs.extend(int(x) for x in top)
+        return pa.table(
+            {"event_type": pa.array(gs, type=pa.string()),
+             "value_e4": pa.array(vs, type=pa.int64())}
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        top = np.unique(g["value_e4"].to_numpy())[::-1][:3]
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]] * len(top),
+                "value_e4": top.astype(np.int64),
+                "drank": np.arange(1, len(top) + 1, dtype=np.int64),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["event_type", "drank"])
+        .reset_index(drop=True)
+    )
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -2292,6 +2371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "rollup_revenue": q_rollup_revenue,
         "rank_windows": q_rank_windows,
+        "ntile_boundaries": q_ntile_boundaries,
+        "dense_rank_topk": q_dense_rank_topk,
         "stratified_sample": q_stratified_sample,
         "pivot_events": q_pivot_events,
         "monthly_revenue": q_monthly_revenue,
@@ -2739,6 +2820,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_mktsegment, c_custkey, spend_e2, drank, tile
             FROM r WHERE drank <= 3
             ORDER BY c_mktsegment, drank, c_custkey
+        """,
+        "ntile_boundaries": """
+            WITH v AS (
+              SELECT event_type,
+                     CAST(round(value * 10000) AS BIGINT) AS e4,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY CAST(round(value * 10000) AS BIGINT),
+                                                 event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events
+            )
+            SELECT event_type,
+                   CAST(t.j AS BIGINT) AS tile,
+                   CAST(rn AS BIGINT) AS boundary_rank,
+                   e4 AS boundary_e4
+            FROM v, (SELECT unnest([1, 2, 3]) AS j) t
+            WHERE rn = t.j * (n // 4) + least(t.j, n % 4)
+            ORDER BY event_type, tile
+        """,
+        "dense_rank_topk": """
+            SELECT event_type, value_e4, CAST(drank AS BIGINT) AS drank FROM (
+              SELECT event_type, value_e4,
+                     dense_rank() OVER (PARTITION BY event_type
+                                        ORDER BY value_e4 DESC) AS drank
+              FROM (SELECT DISTINCT event_type,
+                           CAST(round(value * 10000) AS BIGINT) AS value_e4
+                    FROM events)
+            ) WHERE drank <= 3
+            ORDER BY event_type, drank
         """,
         "stratified_sample": """
             WITH h AS (

@@ -159,3 +159,160 @@ def stratified_sample(ds, *, group_col: str, id_col: str, frac: float):
         .groupby(group_col)
         .map_groups(final_select, batch_format="pyarrow")
     )
+
+
+def exact_group_rank_select(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    rank_fn,
+    sample_mod: int | None = None,
+    pad_mult: float = 4.0,
+    max_iters: int = 8,
+) -> pa.Table:
+    """Exact per-group order statistics (k-th smallest ``value_col``)
+    WITHOUT whole-group materialization — the distributed swap for exact
+    ntile/quantile boundaries contracted in ``q_rank_windows``.
+
+    ``rank_fn(n) -> [(tag, rank), ...]`` gives the 1-indexed target ranks
+    per group of size n (out-of-range ranks dropped; duplicate ranks under
+    different tags fine).  Returns an Arrow table
+    ``(group_col, tag, rank, value)`` sorted by (group, tag).
+
+    Algorithm — two streaming passes plus vanishingly-rare retries (the
+    classic distributed selection shape, cf. Blum et al. selection +
+    TeraSort-style sampled partitioning):
+
+    0. exact per-group counts (combiner-collapsed groupby);
+    1. a DETERMINISTIC hash-of-id row sample (no RNG state, stable under
+       repartitioning) brackets each target rank between two sample order
+       statistics with a ±pad·√|sample| safety margin;
+    2. one scan counts values strictly below each bracket exactly and
+       collects only the in-bracket values (≈ pad·sample_mod rows per
+       target).  If ``count_below < rank ≤ count_below + |in_bracket|``
+       the k-th value is read off the sorted in-bracket set; a missed
+       bracket (probability e^-Ω(pad²) by Chernoff) widens ×4 and
+       re-scans, degenerating to a full-range bracket in O(log) rounds.
+
+    Driver state is bounded by n_groups × targets × pad × sample_mod —
+    never by the data.  ``value_col`` must be int64 (exact comparisons,
+    no float ties); ``id_col`` seeds the sample hash.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    group_type = ds.schema().base_schema.field(group_col).type
+    OUT = pa.schema(
+        [(group_col, group_type), ("tag", pa.int64()),
+         ("rank", pa.int64()), ("value", pa.int64())]
+    )
+    PART = pa.schema(
+        [(group_col, group_type), ("tag", pa.int64()),
+         ("kind", pa.int64()), ("num", pa.int64())]
+    )
+
+    counts_df = ds.groupby(group_col).aggregate(Count(alias_name="n")).to_pandas()
+    counts = {g: int(n) for g, n in zip(counts_df[group_col], counts_df["n"])}
+    pending = [
+        (g, int(tag), int(r))
+        for g, n in counts.items()
+        for tag, r in rank_fn(n)
+        if 1 <= r <= n
+    ]
+    if not pending:
+        return OUT.empty_table()
+
+    n_total = sum(counts.values())
+    if sample_mod is None:
+        # target ≈ 4000 sample rows per group: bracket width stays O(√s)
+        sample_mod = max(16, n_total // max(1, 4000 * len(counts)))
+
+    def sample_batch(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            b[id_col].to_pandas(), index=False
+        ).to_numpy()
+        return b.select([group_col, value_col]).filter(
+            pa.array((h % sample_mod) == 0)
+        )
+
+    sample = ds.map_batches(sample_batch, batch_format="pyarrow").to_pandas()
+    samples = {
+        g: np.sort(v[value_col].to_numpy().astype(np.int64))
+        for g, v in sample.groupby(group_col)
+    }
+
+    I64_LO, I64_HI = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+    resolved: list[tuple] = []
+    pad = float(pad_mult)
+    for _ in range(max_iters):
+        brackets = []
+        for g, tag, r in pending:
+            s = samples.get(g)
+            if s is None or len(s) == 0:
+                lo, hi = I64_LO, I64_HI
+            else:
+                p = r * len(s) / counts[g]
+                w = int(pad * math.sqrt(len(s)) + 2)
+                loi, hii = int(math.floor(p)) - w, int(math.ceil(p)) + w
+                lo = I64_LO if loi < 0 else int(s[min(loi, len(s) - 1)])
+                hi = I64_HI if hii >= len(s) else int(s[hii])
+            brackets.append((g, tag, lo, hi))
+
+        def scan(b: pa.Table, _br=tuple(brackets)) -> pa.Table:
+            grp = b[group_col].to_numpy(zero_copy_only=False)
+            val = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            gs, tags, kinds, nums = [], [], [], []
+            for g, tag, lo, hi in _br:
+                m = grp == g
+                if not m.any():
+                    continue
+                v = val[m]
+                below = int((v < lo).sum()) if lo != I64_LO else 0
+                gs.append(g); tags.append(tag); kinds.append(0); nums.append(below)
+                w = v[(v >= lo) & (v <= hi)]
+                gs.extend([g] * len(w)); tags.extend([tag] * len(w))
+                kinds.extend([1] * len(w)); nums.extend(int(x) for x in w)
+            return pa.table(
+                {
+                    group_col: pa.array(gs, type=group_type),
+                    "tag": pa.array(tags, type=pa.int64()),
+                    "kind": pa.array(kinds, type=pa.int64()),
+                    "num": pa.array(nums, type=pa.int64()),
+                }
+            ).cast(PART)
+
+        parts = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+        below_tot = (
+            parts[parts["kind"] == 0].groupby([group_col, "tag"])["num"].sum()
+        )
+        inbr = {
+            k: np.sort(v["num"].to_numpy())
+            for k, v in parts[parts["kind"] == 1].groupby([group_col, "tag"])
+        }
+        still = []
+        for g, tag, r in pending:
+            below = int(below_tot.get((g, tag), 0))
+            arr = inbr.get((g, tag), np.array([], dtype=np.int64))
+            idx = r - below - 1
+            if 0 <= idx < len(arr):
+                resolved.append((g, tag, r, int(arr[idx])))
+            else:
+                still.append((g, tag, r))
+        pending = still
+        if not pending:
+            break
+        pad *= 4.0
+    else:
+        raise RuntimeError(f"rank selection did not converge for {pending[:4]}")
+
+    resolved.sort(key=lambda t: (str(t[0]), t[1]))
+    return pa.table(
+        {
+            group_col: pa.array([t[0] for t in resolved], type=group_type),
+            "tag": pa.array([t[1] for t in resolved], type=pa.int64()),
+            "rank": pa.array([t[2] for t in resolved], type=pa.int64()),
+            "value": pa.array([t[3] for t in resolved], type=pa.int64()),
+        }
+    )

@@ -87,3 +87,46 @@ def test_ntile_small_group_semantics():
     base, rem = divmod(n, k)
     tile = np.repeat(np.arange(1, k + 1), [base + 1] * rem + [base] * (k - rem))
     assert tile.tolist() == [1, 2, 3]
+
+
+def test_exact_group_rank_select(ray_session):
+    """Distributed k-th selection vs numpy sort: duplicates, skew, tiny
+    groups, and a pad so small that brackets must widen and retry."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_schema_ray.functions.profile import exact_group_rank_select
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g, n in [("a", 5000), ("b", 1200), ("c", 3)]:
+        # heavy duplication: values from a small domain
+        vals = rng.integers(0, 50, n) * 10
+        rows.append((g, vals))
+    grp = np.concatenate([[g] * len(v) for g, v in rows])
+    val = np.concatenate([v for _, v in rows]).astype(np.int64)
+    ids = np.arange(len(val), dtype=np.int64)
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(grp), "v": pa.array(val), "i": pa.array(ids)})
+    ).repartition(6)
+
+    def ranks(n):
+        return [(j, j * (n // 4) + min(j, n % 4)) for j in (1, 2, 3)]
+
+    got = exact_group_rank_select(
+        ds, group_col="g", value_col="v", id_col="i", rank_fn=ranks,
+        sample_mod=64, pad_mult=0.25,  # tiny pad: forces widen-and-retry
+    ).to_pandas()
+
+    for g, v in rows:
+        s = np.sort(v)
+        n = len(v)
+        for j in (1, 2, 3):
+            r = j * (n // 4) + min(j, n % 4)
+            if not (1 <= r <= n):
+                continue
+            row = got[(got["g"] == g) & (got["tag"] == j)]
+            assert len(row) == 1
+            assert int(row["rank"].iloc[0]) == r
+            assert int(row["value"].iloc[0]) == int(s[r - 1])
