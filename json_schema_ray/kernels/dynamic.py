@@ -161,6 +161,14 @@ class CompiledSchema:
         out = self.evaluate(value)
         return [] if out.ok else (out.errors or [])
 
+    def explain(self, value: Any) -> str:
+        """Hierarchical result dump for debugging nested failures — the
+        ``ValidationResultFactory.hierarchyFormat`` analog
+        (``js/results/ValidationResultFactory.java:240-262``)."""
+        from ..spec.errors import hierarchy_format
+
+        return hierarchy_format(self.evaluate(value))
+
 
 # "$schema" URI → dialect name; the analog of the reference's embedded
 # dialect registry (js/dialects/DialectRegistry.java:26-60 + dialects.zip)
@@ -757,7 +765,12 @@ class DynamicCompiler:
             def v_anyof(v, sc, ip, _subs=subs):
                 rs = [s(v, sc, ip) for s in _subs]
                 if not any(r.ok for r in rs):
-                    return _fail("ANY_OF", ip, "/anyOf")
+                    # branch failures ride along as CONTAINER children for
+                    # the hierarchy formatter; flat rendering ignores them
+                    return Outcome(False, errors=[Violation(
+                        "ANY_OF", ip, "/anyOf",
+                        children=tuple(tuple(r.errors or ()) for r in rs),
+                    )])
                 out = Outcome(True)
                 _merge_ann(out, rs)
                 return out
@@ -770,7 +783,10 @@ class DynamicCompiler:
                 rs = [s(v, sc, ip) for s in _subs]
                 n_ok = sum(r.ok for r in rs)
                 if n_ok == 0:
-                    return _fail("ONE_OF_EMPTY", ip, "/oneOf")
+                    return Outcome(False, errors=[Violation(
+                        "ONE_OF_EMPTY", ip, "/oneOf",
+                        children=tuple(tuple(r.errors or ()) for r in rs),
+                    )])
                 if n_ok > 1:
                     return _fail("ONE_OF_MORE_THAN_ONE", ip, "/oneOf")
                 out = Outcome(True)

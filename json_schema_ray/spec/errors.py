@@ -70,6 +70,11 @@ class Violation:
     instance_ptr: str = ""
     schema_ptr: str = ""
     args: tuple = field(default=())
+    # combinator branch detail (oneOf/anyOf): tuple of per-branch violation
+    # tuples — the CONTAINER nested-results analog
+    # (js/results/IValidationResult.java:15-20); empty for leaf violations
+    # and absent from tabular output (flat rendering unchanged)
+    children: tuple = field(default=())
 
     def message(self) -> str:
         tmpl = ERROR_MESSAGES.get(self.error_type, self.error_type)
@@ -77,3 +82,50 @@ class Violation:
         for i, a in enumerate(self.args):
             out = out.replace("{%d}" % i, str(a))
         return out
+
+
+def hierarchy_format(outcome) -> str:
+    """Indent-per-level dump of a failed ``Outcome`` — the
+    ``ValidationResultFactory.hierarchyFormat`` analog
+    (``js/results/ValidationResultFactory.java:240-262``): instance-pointer
+    prefixes render as ``CONT-ERR`` container lines (valid = AND of
+    children), leaf violations as ``ERROR`` lines with the rendered
+    message, and combinator branches (oneOf/anyOf alternatives captured in
+    ``Violation.children``) as nested ``CONT-ERR branch[i]`` containers."""
+    ok = getattr(outcome, "ok", None)
+    errs = list(getattr(outcome, "errors", None) or [])
+    if ok or not errs:
+        return "OK\n"
+    lines: list[str] = []
+
+    def emit(v: Violation, level: int) -> None:
+        ind = "\t" * level
+        lines.append(
+            f"{ind}ERROR {v.error_type} at {v.instance_ptr or '/'} "
+            f"by {v.schema_ptr or '/'}: {v.message()}"
+        )
+        for bi, branch in enumerate(getattr(v, "children", ()) or ()):
+            lines.append(f"{ind}\tCONT-ERR branch[{bi}]")
+            for c in branch:
+                emit(c, level + 2)
+
+    # group leaves under their instance-pointer containers (a trie over
+    # pointer segments, printed depth-first)
+    root: dict = {"errs": [], "kids": {}}
+    for v in errs:
+        node = root
+        ptr = v.instance_ptr or ""
+        if ptr:
+            for seg in ptr.lstrip("/").split("/"):
+                node = node["kids"].setdefault(seg, {"errs": [], "kids": {}})
+        node["errs"].append(v)
+
+    def walk(name: str, node: dict, level: int) -> None:
+        lines.append("\t" * level + f"CONT-ERR {name or '/'}")
+        for v in node["errs"]:
+            emit(v, level + 1)
+        for seg in sorted(node["kids"]):
+            walk(f"{name}/{seg}", node["kids"][seg], level + 1)
+
+    walk("", root, 0)
+    return "\n".join(lines) + "\n"

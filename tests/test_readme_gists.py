@@ -122,3 +122,41 @@ def test_content_vocabulary_levels():
     full = ConstraintEngineBuilder().set_content_processing("encoding_and_schema").compile(schema)
     assert not full.apply(valid_encoding).ok  # 1 is not a JSON string
     assert full.apply(valid_encoding_and_schema).ok
+
+
+def test_explain_hierarchy_for_nested_oneof_failure():
+    """README gist: CompiledSchema.explain pretty-prints the failure tree
+    for a nested oneOf (hierarchyFormat analog,
+    ValidationResultFactory.java:240-262) — containers per instance
+    pointer, branch alternatives nested, rendered messages on leaves."""
+    from json_schema_ray.kernels.dynamic import compile_schema
+
+    cs = compile_schema(
+        {
+            "type": "object",
+            "required": ["payload"],
+            "properties": {
+                "payload": {
+                    "oneOf": [
+                        {"type": "integer", "minimum": 10},
+                        {"type": "object", "required": ["kind"],
+                         "properties": {"kind": {"enum": ["a", "b"]}}},
+                    ]
+                }
+            },
+        }
+    )
+    assert cs.explain({"payload": {"kind": "zz"}}).splitlines()[0].startswith("CONT-ERR")
+    tree = cs.explain({"payload": {"kind": "zz"}})
+    # container for the instance pointer of the failing member
+    assert "CONT-ERR /payload" in tree
+    # the oneOf leaf with both branch containers and their inner errors
+    assert "ONE_OF_EMPTY" in tree
+    assert "branch[0]" in tree and "branch[1]" in tree
+    assert "MINIMUM" in tree or "TYPE" in tree  # branch-0 detail
+    assert "ENUM" in tree  # branch-1 detail
+    # indentation really nests (tabs per level, reference format)
+    lines = tree.splitlines()
+    assert any(l.startswith("\t\t") for l in lines)
+    # valid instances print OK
+    assert cs.explain({"payload": 12}) == "OK\n"
