@@ -83,6 +83,17 @@ def _join_partitions(small: bool = False) -> int:
     return max(8, cpus // (4 if small else 2))
 
 
+def _join_side(ds):
+    """Materialize an aggregate-derived join input and strip empty
+    zero-column blocks (stages/shuffle.drop_empty_blocks): a hash
+    aggregate's empty partitions otherwise race the join operator's
+    first-block schema broadcast — the round-3 vocab_score driver red.
+    Applied to every join input that comes out of groupby().aggregate()."""
+    from json_schema_ray.stages.shuffle import drop_empty_blocks
+
+    return drop_empty_blocks(ds.materialize())
+
+
 def q_col_stats(sf_dir: str) -> pa.Table:
     """Per-column null-rate/min/max via two-phase map_batches partials."""
     from json_schema_ray.stages.stats import column_stats
@@ -1611,7 +1622,8 @@ def q_left_join_nulls(sf_dir: str) -> pa.Table:
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = orders.join(
-        li_agg, join_type="left_outer", num_partitions=_join_partitions(),
+        _join_side(li_agg), join_type="left_outer",
+        num_partitions=_join_partitions(),
         on=("o_orderkey",), right_on=("l_orderkey",),
     )
 
@@ -2025,7 +2037,8 @@ def q_rank_windows(sf_dir: str) -> pa.Table:
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = cust.join(
-        spend, join_type="inner", num_partitions=_join_partitions(small=True),
+        _join_side(spend), join_type="inner",
+        num_partitions=_join_partitions(small=True),
         on=("c_custkey",), right_on=("o_custkey",),
     )
 
@@ -2281,7 +2294,8 @@ def q_anti_join(sf_dir: str) -> pa.Table:
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = cust.join(
-        has_orders, join_type="left_outer", num_partitions=_join_partitions(small=True),
+        _join_side(has_orders), join_type="left_outer",
+        num_partitions=_join_partitions(small=True),
         on=("c_custkey",), right_on=("o_custkey",),
     )
 

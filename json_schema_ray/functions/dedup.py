@@ -329,6 +329,155 @@ def minhash_lsh_candidates(
     return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
+def minhash_lsh_candidate_pairs_ds(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 128,
+    bands: int = 32,
+    seed: int = 42,
+    concurrency: int = 4,
+    max_bucket_size: int = 2000,
+    num_partitions: int | None = None,
+):
+    """Fully STREAMING MinHash-LSH candidate pairs — same banding math and
+    thresholds as :func:`minhash_lsh_candidates`, but every stage stays a
+    Dataset, so nothing (hot-key set, pair set, signature map) ever
+    touches the driver:
+
+    - the collision prefilter joins the banded rows back to the hot
+      buckets (count ≥ 2) with a native hash join instead of broadcasting
+      a key set;
+    - cross-band duplicate pairs collapse with a distributed
+      groupby(id_a, id_b) aggregate instead of a driver drop_duplicates;
+    - signature verification is two native hash joins (pair → sig_a,
+      pair → sig_b) plus a vectorized equality-fraction map, instead of a
+      driver-side signature dict.
+
+    Returns a Dataset of (id_a, id_b, est_jaccard).  Feed it to
+    :func:`dedup_clusters_distributed` / :func:`drop_near_dups_distributed`
+    for the end-to-end driver-free near-dup chain.  The pair-side cost is
+    one extra exchange of the candidate set per verification join —
+    candidates, not corpus."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.shuffle import drop_empty_blocks
+
+    if num_partitions is None:
+        try:
+            num_partitions = max(8, int(ray.cluster_resources().get("CPU", 16)) // 2)
+        except Exception:
+            num_partitions = 8
+    rows_per_band = k // bands
+    hasher_kwargs = dict(k=k, shingle_w=3, seed=seed, text_col=text_col, id_col=id_col)
+    sigs = drop_empty_blocks(
+        ds.map_batches(
+            MinHasher, fn_constructor_kwargs=hasher_kwargs,
+            batch_format="pyarrow", concurrency=(1, concurrency),
+        ).materialize()
+    )
+    id_type = sigs.schema().base_schema.field(id_col).type
+    # Acero joins reject list payloads — ship signatures as
+    # fixed_size_binary(k*8) (zero-copy view of the uint64 matrix)
+    sig_type = pa.binary(k * 8)
+    PAIR = pa.schema([("id_a", id_type), ("id_b", id_type)])
+
+    banded = drop_empty_blocks(
+        sigs.map_batches(
+            lambda b: _band_rows(b, bands, rows_per_band, id_col),
+            batch_format="pyarrow",
+        ).materialize()
+    )
+
+    HOT = pa.schema([("bucket_key", pa.int64())])
+
+    def hot_keys(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return HOT.empty_table()
+        return b.filter(pc.greater(b["n"], 1)).select(["bucket_key"]).cast(HOT)
+
+    hot = drop_empty_blocks(
+        banded.groupby("bucket_key")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(hot_keys, batch_format="pyarrow")
+        .materialize()
+    )
+    collide = banded.join(hot, "inner", num_partitions, on=("bucket_key",))
+
+    def bucket_pairs_arrow(g: pa.Table) -> pa.Table:
+        ids = sorted(set(g[id_col].to_pylist()))[:max_bucket_size]
+        if len(ids) <= 1:
+            return PAIR.empty_table()
+        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1:]])
+        return pa.table(
+            {"id_a": pa.array(list(a), type=id_type),
+             "id_b": pa.array(list(b), type=id_type)}
+        )
+
+    def drop_count(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return PAIR.empty_table()
+        return b.select(["id_a", "id_b"]).cast(PAIR)
+
+    pairs = drop_empty_blocks(
+        collide.groupby("bucket_key")
+        .map_groups(bucket_pairs_arrow, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])           # distributed cross-band dedup
+        .aggregate(Count(alias_name="__n__"))
+        .map_batches(drop_count, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def sig_side(col_id: str, col_sig: str):
+        out_schema = pa.schema([(col_id, id_type), (col_sig, sig_type)])
+
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return out_schema.empty_table()
+            flat = (
+                b["sig"].combine_chunks()
+                if isinstance(b["sig"], pa.ChunkedArray)
+                else b["sig"]
+            )
+            m = np.ascontiguousarray(
+                np.asarray(flat.flatten()).reshape(len(b), k).astype(np.uint64)
+            )
+            fb = pa.Array.from_buffers(
+                sig_type, len(b), [None, pa.py_buffer(m.tobytes())]
+            )
+            return pa.table({col_id: b[id_col], col_sig: fb}).cast(out_schema)
+
+        return f
+
+    sig_a = sigs.map_batches(sig_side("__ka__", "sig_a"), batch_format="pyarrow")
+    sig_b = sigs.map_batches(sig_side("__kb__", "sig_b"), batch_format="pyarrow")
+    withsigs = pairs.join(
+        sig_a, "inner", num_partitions, on=("id_a",), right_on=("__ka__",)
+    ).join(sig_b, "inner", num_partitions, on=("id_b",), right_on=("__kb__",))
+
+    OUT = pa.schema(
+        [("id_a", id_type), ("id_b", id_type), ("est_jaccard", pa.float64())]
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return OUT.empty_table()
+
+        def mat(col):
+            c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            a = np.frombuffer(c.buffers()[1], dtype=np.uint64)
+            return a[c.offset * k : (c.offset + len(c)) * k].reshape(len(c), k)
+
+        est = (mat(b["sig_a"]) == mat(b["sig_b"])).mean(axis=1)
+        return pa.table(
+            {"id_a": b["id_a"], "id_b": b["id_b"],
+             "est_jaccard": pa.array(est, type=pa.float64())}
+        ).cast(OUT)
+
+    return withsigs.map_batches(score, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- simhash
 
 

@@ -181,3 +181,53 @@ def test_drop_near_dups_distributed_equals_broadcast_path(ray_session):
         ).to_pandas()["doc_id"]
     )
     assert got == want == ["a", "x", "z"]
+
+
+def test_minhash_streaming_pairs_match_driver_version(ray_session):
+    """minhash_lsh_candidate_pairs_ds (driver-free) produces the SAME
+    candidate pair set and est_jaccard values as minhash_lsh_candidates,
+    and chains into dedup_clusters_distributed end-to-end."""
+    import numpy as np
+    import ray.data as rd
+
+    from json_schema_ray.functions.dedup import (
+        dedup_clusters_distributed,
+        minhash_lsh_candidate_pairs_ds,
+        minhash_lsh_candidates,
+    )
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    base = [" ".join(rng.choice(words, size=40)) for _ in range(30)]
+    texts, ids = [], []
+    for i, t in enumerate(base):
+        texts.append(t); ids.append(2 * i)
+        # near-dup twin for every 3rd doc: tweak one word
+        if i % 3 == 0:
+            texts.append(t.replace(t.split()[0], "omega", 1)); ids.append(2 * i + 1)
+    tbl = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl).repartition(4)
+
+    want = minhash_lsh_candidates(ds, concurrency=2).to_pandas()
+    got = (
+        minhash_lsh_candidate_pairs_ds(
+            rd.from_arrow(tbl).repartition(4), concurrency=2, num_partitions=4
+        )
+        .to_pandas()
+    )
+    key = lambda df: {   # noqa: E731
+        (int(a), int(b)): round(float(j), 9)
+        for a, b, j in zip(df["id_a"], df["id_b"], df["est_jaccard"])
+    }
+    assert key(got) == key(want)
+    assert len(want) > 0  # the planted twins must collide
+
+    # chain: streaming pairs -> distributed resolution, no driver pair set
+    strong = minhash_lsh_candidate_pairs_ds(
+        rd.from_arrow(tbl).repartition(4), concurrency=2, num_partitions=4
+    ).filter(lambda r: r["est_jaccard"] >= 0.5)
+    cl = dedup_clusters_distributed(strong, id_col="doc_id", num_partitions=4)
+    n_keep = int(cl.sum("keep") or 0)
+    assert 0 < n_keep <= cl.count()
