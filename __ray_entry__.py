@@ -636,6 +636,54 @@ def q_minhash_near_dup(sf_dir: str) -> pa.Table:
     return verified.append_column("est_ok", pa.array(err <= 0.35))
 
 
+def q_near_dup_distributed(sf_dir: str) -> pa.Table:
+    """The end-to-end DRIVER-FREE near-dup chain, self-checked: streaming
+    LSH candidate pairs (minhash_lsh_candidate_pairs_ds — hot buckets join
+    back, signatures verified through native hash joins; no driver
+    pair/key/signature materialization) → distributed min-label
+    propagation (dedup_clusters_distributed).  Each cluster row carries
+    `match_unionfind`: its member set must equal the driver union-find
+    resolution of the SAME pair set (the small-pair reference path) — a
+    propagation or pointer-jump bug flips the row."""
+    from json_schema_ray.functions.dedup import (
+        dedup_clusters,
+        dedup_clusters_distributed,
+        minhash_lsh_candidate_pairs_ds,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # materialize once: consumed by both the resolution and the self-check
+    pairs_ds = minhash_lsh_candidate_pairs_ds(ds, concurrency=2).materialize()
+    cl = dedup_clusters_distributed(pairs_ds, id_col="doc_id").to_pandas()
+
+    # reference resolution for the self-check (pair set is candidate-sized)
+    pairs = pairs_ds.to_pandas()
+    uf = dedup_clusters(
+        pa.Table.from_pandas(pairs[["id_a", "id_b"]], preserve_index=False),
+        "doc_id",
+    ).to_pandas()
+    uf_members: dict = {}
+    for doc, c in zip(uf["doc_id"], uf["cluster_id"]):
+        uf_members.setdefault(c, set()).add(int(doc))
+    uf_by_doc = {d: frozenset(m) for m in map(frozenset, uf_members.values()) for d in m}
+
+    rows = []
+    for cid, g in cl.groupby("cluster_id"):
+        members = frozenset(int(x) for x in g["doc_id"])
+        rows.append(
+            {
+                "cluster_id": int(cid),
+                "size": len(members),
+                "survivor": int(g.loc[g["keep"], "doc_id"].iloc[0]),
+                "match_unionfind": uf_by_doc.get(min(members)) == members,
+            }
+        )
+    rows.sort(key=lambda r: r["cluster_id"])
+    import pandas as pd
+
+    return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+
 def q_simhash_near_dup(sf_dir: str) -> pa.Table:
     """Self-checked (round-3): every candidate pair carries (a) its
     hamming distance with a `hamming_ok` gate (≤ the max_hamming the
@@ -2351,6 +2399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only checks (non-SQL-expressible / approximate)
         "hll_cardinality": q_hll_cardinality,
         "minhash_near_dup": q_minhash_near_dup,
+        "near_dup_distributed": q_near_dup_distributed,
         "simhash_near_dup": q_simhash_near_dup,
         "embedding_near_dup": q_embedding_near_dup,
         "winnow_near_dup": q_winnow_near_dup,
