@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--dialect", default=None, choices=["2020-12", "2019-09", "draft7"])
     c.add_argument("--assert-formats", action="store_true")
     c.add_argument("--max-errors", type=int, default=10, help="violation examples to print")
+    c.add_argument(
+        "--explain", action="store_true",
+        help="render each collected example as a hierarchical failure tree "
+        "(hierarchyFormat analog) instead of a flat violation line",
+    )
     c.add_argument("--num-cpus", type=int, default=None, help="only for standalone ray.init")
 
     cu = sub.add_parser(
@@ -165,6 +170,15 @@ def _check(args) -> int:
         b.assert_formats()
     cs = b.compile(schema)
     cap = args.max_errors
+    explain = getattr(args, "explain", False)
+
+    def _example(i: int, out) -> str:
+        if explain:
+            from .spec.errors import hierarchy_format
+
+            return json.dumps({"row": i, "tree": hierarchy_format(out)})[:2000]
+        v = (out.errors or [None])[0]
+        return json.dumps({"row": i, "violation": str(v)})[:400]
 
     def _partial(n: int, n_ok: int, examples: list[str]) -> pa.Table:
         return pa.table(
@@ -184,8 +198,7 @@ def _check(args) -> int:
             if out.ok:
                 n_ok += 1
             elif len(examples) < cap:
-                v = (out.errors or [None])[0]
-                examples.append(json.dumps({"row": i, "violation": str(v)})[:400])
+                examples.append(_example(i, out))
         return _partial(len(objs), n_ok, examples)
 
     def validate_lines(batch: pa.Table) -> pa.Table:
@@ -206,8 +219,7 @@ def _check(args) -> int:
             if out.ok:
                 n_ok += 1
             elif len(examples) < cap:
-                v = (out.errors or [None])[0]
-                examples.append(json.dumps({"row": i, "violation": str(v)})[:400])
+                examples.append(_example(i, out))
         return _partial(n, n_ok, examples)
 
     if args.input.endswith((".jsonl", ".ndjson")):

@@ -74,3 +74,31 @@ def test_cli_curate(ray_session, tmp_path, capsys):
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc2 == 0 and set(rep2["resumed_stages"]) == {"filtered", "deduped", "drops", "curated"}
     assert rep2["n_final"] == rep["n_final"]
+
+
+def test_cli_check_explain_trees(ray_session, tmp_path, capsys):
+    """--explain renders each collected example as a hierarchy tree."""
+    docs = tmp_path / "docs.jsonl"
+    with open(docs, "w") as f:
+        f.write(json.dumps({"payload": {"kind": "zz"}}) + "\n")
+        f.write(json.dumps({"payload": 12}) + "\n")
+    schema = tmp_path / "schema.json"
+    json.dump(
+        {
+            "properties": {
+                "payload": {
+                    "oneOf": [
+                        {"type": "integer", "minimum": 10},
+                        {"type": "object", "required": ["kind"],
+                         "properties": {"kind": {"enum": ["a", "b"]}}},
+                    ]
+                }
+            }
+        },
+        open(schema, "w"),
+    )
+    rc = main(["check", "--schema", str(schema), "--input", str(docs), "--explain"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 3 and out["n_invalid"] == 1
+    tree = json.loads(out["examples"][0])["tree"]
+    assert "CONT-ERR" in tree and "ONE_OF_EMPTY" in tree and "branch[1]" in tree
