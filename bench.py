@@ -249,6 +249,14 @@ def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
         em.q_stratified_sample(sf_dir)
         queries["stratified_sample"] = round(time.time() - t, 3)
 
+        t = time.time()
+        em.q_ntile_boundaries(sf_dir)
+        queries["ntile_boundaries"] = round(time.time() - t, 3)
+
+        t = time.time()
+        em.q_vocab_score(sf_dir)
+        queries["vocab_score"] = round(time.time() - t, 3)
+
         result = {
             "metric": "validation_pipeline_wall_time",
             "value": round(headline, 3),
