@@ -720,6 +720,16 @@ def dedup_clusters_distributed(
         n = pc.sum(pc.cast(pc.not_equal(b["lbl"], b["old"]), pa.int64())).as_py()
         return pa.table({"c": pa.array([int(n or 0)], type=pa.int64())})
 
+    # Convergence detection: labels DECREASE monotonically and only at the
+    # per-node min, so for integer ids a global sum(label) is a strictly
+    # decreasing potential — equal sums across a round means no label moved
+    # and costs one aggregate instead of a join + scan.  (int64 wraparound
+    # could alias a real decrease only at exactly 0 mod 2^64 — odds 2^-64
+    # per round, non-adversarial ids.)  Non-integer ids fall back to the
+    # join-based changed count.
+    int_ids = pa.types.is_integer(id_type)
+    prev_sum = labels.sum("lbl") if int_ids else None
+
     for _ in range(max_rounds):
         # (1) every edge proposes label(src) to dst; per-node min with own
         prop = edges.join(labels, "inner", num_partitions, on=("src",))
@@ -743,18 +753,23 @@ def dedup_clusters_distributed(
             .materialize()
         )
         new = drop_empty_blocks(new)
-        changed = (
-            new.join(
-                labels.map_batches(
-                    _project(OLD, src="src", old="lbl"), batch_format="pyarrow"
-                ),
-                "inner",
-                num_partitions,
-                on=("src",),
+        if int_ids:
+            cur_sum = new.sum("lbl")
+            changed = cur_sum != prev_sum
+            prev_sum = cur_sum
+        else:
+            changed = (
+                new.join(
+                    labels.map_batches(
+                        _project(OLD, src="src", old="lbl"), batch_format="pyarrow"
+                    ),
+                    "inner",
+                    num_partitions,
+                    on=("src",),
+                )
+                .map_batches(count_changed, batch_format="pyarrow")
+                .sum("c")
             )
-            .map_batches(count_changed, batch_format="pyarrow")
-            .sum("c")
-        )
         labels = new
         if not changed:
             break
