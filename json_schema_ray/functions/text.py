@@ -357,6 +357,86 @@ def find_contaminated(
     return ds.map_batches(match, batch_format="pyarrow")
 
 
+def build_gram_bloom(benchmark_grams, n_bits: int = 1 << 23, k: int = 7):
+    """Benchmark-gram Bloom filter (state/bloom.py).  For a benchmark that
+    is itself a Dataset, build per-batch partials inside ``map_batches``
+    and OR-merge — the filters are ``n_bits/8`` bytes each regardless of
+    gram count."""
+    from ..state.bloom import BloomFilter, hash_strings
+
+    bf = BloomFilter(n_bits=n_bits, k=k)
+    grams = (
+        benchmark_grams.to_pylist()
+        if hasattr(benchmark_grams, "to_pylist")
+        else list(benchmark_grams)
+    )
+    if grams:
+        bf.add_hashes(hash_strings(grams))
+    return bf
+
+
+def find_contaminated_bloom(
+    ds,
+    benchmark_grams,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 1 << 23,
+    k: int = 7,
+) -> pa.Table:
+    """Bloom-filter decontamination — the 100-TB shape of
+    :func:`find_contaminated`: the broadcast is a CONSTANT ``n_bits/8``
+    bytes (1 MiB at the default) no matter how large the benchmark's
+    distinct-gram set grows, at the cost of a tunable false-positive rate
+    ``(1-e^{-kn/m})^k``.  NO false negatives: the output is a superset of
+    the exact procedure's (every truly contaminated doc is flagged;
+    ``n_matched`` counts bloom-hit distinct grams, an upper bound).
+    Verify candidates with the exact pass over the (small) flagged set
+    when exact counts matter."""
+    import ray
+
+    from ..state.bloom import BloomFilter, hash_strings
+
+    bf = (
+        benchmark_grams
+        if isinstance(benchmark_grams, BloomFilter)
+        else build_gram_bloom(benchmark_grams, n_bits=n_bits, k=k)
+    )
+    bf_ref = ray.put((bf.n_bits, bf.k, bf.words))
+
+    def match(batch: pa.Table) -> pa.Table:
+        nb, kk, words = ray.get(bf_ref)
+        filt = BloomFilter(n_bits=nb, k=kk, words=words)
+        grams, doc_of = doc_word_ngrams(batch, n=n, text_col=text_col)
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=batch.schema.field(id_col).type),
+                "n_matched": pa.array([], type=pa.int64()),
+            }
+        )
+        if len(grams) == 0:
+            return empty
+        gl = grams.to_pandas()
+        hit_np = filt.contains_hashes(hash_strings(gl))
+        if not hit_np.any():
+            return empty
+        import pandas as pd
+
+        mdf = pd.DataFrame(
+            {"d": doc_of[hit_np], "g": gl.to_numpy()[hit_np]}
+        ).drop_duplicates()
+        cnt = mdf.groupby("d").size()
+        ids = batch[id_col].take(pa.array(cnt.index.to_numpy()))
+        return pa.table(
+            {
+                id_col: ids,
+                "n_matched": pa.array(cnt.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
 # (kind, RE2 pattern, replacement) — ordered: emails first so an address's
 # host part is never half-eaten by the IP rule.  RE2 semantics on BOTH
 # engines that run these (Arrow here, DuckDB in the oracle SQL).

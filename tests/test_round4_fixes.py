@@ -231,3 +231,67 @@ def test_minhash_streaming_pairs_match_driver_version(ray_session):
     cl = dedup_clusters_distributed(strong, id_col="doc_id", num_partitions=4)
     n_keep = int(cl.sum("keep") or 0)
     assert 0 < n_keep <= cl.count()
+
+
+# ------------------------------------------------------- bloom filter
+
+
+def test_bloom_filter_basics():
+    """No false negatives; FP rate near the analytic bound; OR-merge."""
+    import numpy as np
+
+    from json_schema_ray.state.bloom import BloomFilter, hash_strings
+
+    rng = np.random.default_rng(5)
+    members = [f"gram-{i}" for i in range(20_000)]
+    others = [f"other-{i}" for i in range(50_000)]
+    bf = BloomFilter(n_bits=1 << 19, k=7)  # m/n ≈ 26 bits/el → fp ~ 2e-5
+    h_in = hash_strings(members)
+    bf.add_hashes(h_in)
+    assert bf.contains_hashes(h_in).all()  # zero false negatives, always
+    fp = bf.contains_hashes(hash_strings(others)).mean()
+    expected = (1 - np.exp(-7 * len(members) / (1 << 19))) ** 7
+    assert fp <= max(4 * expected, 1e-3)
+
+    # mergeable: OR of shard filters == filter of the union
+    a, b = BloomFilter(1 << 19, 7), BloomFilter(1 << 19, 7)
+    a.add_hashes(h_in[:10_000]); b.add_hashes(h_in[10_000:])
+    assert a.merge(b).contains_hashes(h_in).all()
+
+
+def test_find_contaminated_bloom_superset_of_exact(ray_session):
+    """Bloom path flags every exactly-contaminated doc (no false
+    negatives) and the flagged superset stays tight at 1 MiB default."""
+    import numpy as np
+    import ray.data as rd
+
+    from json_schema_ray.functions.text import (
+        doc_word_ngrams,
+        find_contaminated,
+        find_contaminated_bloom,
+    )
+
+    rng = np.random.default_rng(9)
+    words = [f"w{i}" for i in range(200)]
+    bench_texts = [" ".join(rng.choice(words, size=30)) for _ in range(10)]
+    clean = [" ".join(rng.choice(words, size=40)) for _ in range(50)]
+    # plant benchmark 13-grams into 5 training docs
+    dirty = [c + " " + " ".join(bench_texts[i % 10].split()[:13]) for i, c in enumerate(clean[:5])]
+    texts = dirty + clean[5:]
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                    "text": pa.array(texts)})
+    bench_tbl = pa.table({"text": pa.array(bench_texts)})
+    grams = doc_word_ngrams(bench_tbl, n=13, text_col="text")[0].unique()
+
+    exact = find_contaminated(
+        rd.from_arrow(tbl), grams, n=13
+    ).to_pandas().set_index("doc_id")
+    bloom = find_contaminated_bloom(
+        rd.from_arrow(tbl), grams, n=13
+    ).to_pandas().set_index("doc_id")
+
+    assert set(exact.index) == set(range(5))
+    assert set(exact.index) <= set(bloom.index)  # superset, no false negatives
+    # n_matched upper-bounds the exact count
+    for d in exact.index:
+        assert bloom.loc[d, "n_matched"] >= exact.loc[d, "n_matched"]
