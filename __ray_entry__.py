@@ -1257,6 +1257,46 @@ def q_decontaminate(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def q_decontaminate_bloom(sf_dir: str) -> pa.Table:
+    """Bloom-filter decontamination (the 100-TB shape: constant 1 MiB
+    broadcast instead of the distinct-gram array), self-checked against
+    the exact procedure on the same carve-out: `exact_hit` marks docs the
+    exact pass flags, `superset_ok` asserts the Bloom path missed NONE of
+    them (false negatives are impossible by construction — a hashing bug
+    flips the row), and `n_matched` upper-bounds the exact count."""
+    from json_schema_ray.functions.text import (
+        doc_word_ngrams,
+        find_contaminated,
+        find_contaminated_bloom,
+    )
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    bench_mask = pa.array(docs["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0)
+    bench_grams = doc_word_ngrams(docs.filter(bench_mask), n=13)[0].unique()
+    bloom = (
+        find_contaminated_bloom(
+            _read(sf_dir, "documents", ["doc_id", "text"]), bench_grams, n=13
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    exact = (
+        find_contaminated(
+            _read(sf_dir, "documents", ["doc_id", "text"]), bench_grams, n=13
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    bloom = bloom[bloom.index % 50 != 0]
+    exact = exact[exact.index % 50 != 0]
+    missed = set(exact.index) - set(bloom.index)  # must be empty
+    out = bloom.sort_index().reset_index()
+    out["exact_hit"] = out["doc_id"].isin(set(exact.index))
+    out["superset_ok"] = len(missed) == 0
+    out["n_matched"] = out["n_matched"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_drift(sf_dir: str) -> pa.Table:
     """t-digest drift: events.value first half (baseline) vs scaled copy."""
     from json_schema_ray.state.tdigest import TDigest, ks_statistic, psi
@@ -2413,6 +2453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "source_mix": q_source_mix,
         "pricing_summary": q_pricing_summary,
         "order_revenue_join": q_order_revenue_join,

@@ -63,6 +63,11 @@ from ..functions.dedup import (
 # (iterative min-label propagation, functions/dedup.py); below it the
 # union-find fast path wins on latency
 DISTRIBUTED_PAIRS_THRESHOLD = 2_000_000
+
+# above this many distinct benchmark n-grams, decontamination switches to
+# the Bloom-filter path (constant 1 MiB broadcast, zero false negatives,
+# bounded-FP over-drop) instead of broadcasting the gram array
+BLOOM_GRAMS_THRESHOLD = 5_000_000
 from ..functions.text import (
     TOKEN_RE,
     WS_TOKEN_RE,
@@ -436,10 +441,22 @@ def run_curation(
             grams = doc_word_ngrams(
                 benchmark_texts, n=contamination_ngram, text_col=text_col
             )[0].unique()
-            hit = find_contaminated(
-                deduped, grams, n=contamination_ngram,
-                id_col=id_col, text_col=text_col,
-            )
+            if len(grams) > BLOOM_GRAMS_THRESHOLD:
+                # benchmark too large to broadcast as an array: Bloom path
+                # (constant 1 MiB broadcast, zero false negatives; the
+                # measured-FP over-drop is conservative and documented in
+                # functions/text.find_contaminated_bloom)
+                from ..functions.text import find_contaminated_bloom
+
+                hit = find_contaminated_bloom(
+                    deduped, grams, n=contamination_ngram,
+                    id_col=id_col, text_col=text_col,
+                )
+            else:
+                hit = find_contaminated(
+                    deduped, grams, n=contamination_ngram,
+                    id_col=id_col, text_col=text_col,
+                )
             near = set(near_ids)
             cont_ids = [
                 i for i in hit.to_pandas()[id_col].tolist() if i not in near
