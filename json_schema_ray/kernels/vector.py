@@ -179,6 +179,18 @@ def compile_vector(schema: Any, dtype: pa.DataType, formats_assert: bool = True)
     }
     if unsupported:
         raise UnsupportedVector(f"keywords {sorted(unsupported)} need the dynamic path")
+    # $vocabulary-driven dialect semantics (DialectResolver.resolveDialect,
+    # js/dialects/DialectResolver.java:31-73) need the registry to load the
+    # meta-schema — not statically resolvable here, so: a custom (unknown)
+    # $schema URI, or an inline $vocabulary map, routes to the dynamic path.
+    if "$vocabulary" in schema:
+        raise UnsupportedVector("$vocabulary meta-schemas need the dynamic path")
+    s_uri = schema.get("$schema")
+    from .dynamic import detect_dialect as _detect_dialect  # lazy: avoids import cycle
+    if isinstance(s_uri, str) and _detect_dialect(s_uri.rstrip("#")) is None:
+        raise UnsupportedVector(
+            f"custom meta-schema {s_uri!r} ($vocabulary resolution) needs the dynamic path"
+        )
     # unevaluated* consume annotations from in-place applicators at runtime;
     # on a FIXED Arrow schema they vectorize only when no applicator can
     # contribute annotations — then the evaluated set is static and they
