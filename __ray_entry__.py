@@ -67,20 +67,10 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _join_partitions(small: bool = False) -> int:
-    """Exchange width for native hash joins, derived from cluster size the
-    same way the read auto-split is (pipelines/validation.py:260): ~CPU/2
-    partitions for a full fact-fact join, ~CPU/4 when one side is already a
-    small aggregate, floor 8 so few-CPU test sessions still overlap
-    build/probe.  At the 32-CPU bench profile this resolves to the tuned
-    16/8 widths; on a 256-node cluster it scales with total cores instead
-    of pinning every exchange to 16 partitions."""
-    import ray
+    """Exchange width for native hash joins — see stages/joins.join_partitions."""
+    from json_schema_ray.stages.joins import join_partitions
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 32))
-    except Exception:
-        cpus = 32
-    return max(8, cpus // (4 if small else 2))
+    return join_partitions(small)
 
 
 def _join_side(ds):
@@ -1361,13 +1351,18 @@ def q_topk_per_group(sf_dir: str) -> pa.Table:
 
 def q_shipping_priority(sf_dir: str) -> pa.Table:
     """TPC-H Q3 shape: small dimension (filtered customers) broadcast into
-    a map-side semi-join on orders, then a large-to-large native hash join
-    lineitem ⋈ orders, revenue per (l_orderkey, o_orderdate) in exact e4
-    integer units, global sort + limit 10.  Exercises the composed plan:
-    broadcast join → hash join → groupby → sort/limit."""
+    a map-side semi-join on orders, then lineitem ⋈ orders through the
+    size-aware join planner (stages/joins.join_auto: broadcast below the
+    dimension threshold, native hash join above — at bench scale the
+    filtered orders side is dimension-sized so the map-side plan wins; at
+    100 TB it crosses the threshold and routes to the shuffle join),
+    revenue per (l_orderkey, o_orderdate) in exact e4 integer units,
+    global sort + limit 10."""
     import pandas as pd
     import ray
     from ray.data.aggregate import Sum
+
+    from json_schema_ray.stages.joins import join_auto
 
     CUT = pd.Timestamp("1996-06-30")
 
@@ -1379,24 +1374,21 @@ def q_shipping_priority(sf_dir: str) -> pa.Table:
     )
     keys_ref = ray.put(keys)
 
-    class SemiJoin:
-        def __init__(self, ref):
-            self.keys = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.keys, ck)
-            idx[idx >= len(self.keys)] = 0
-            hit = self.keys[idx] == ck
-            early = pc.less(
-                batch["o_orderdate"], pa.scalar(CUT, type=pa.timestamp("us"))
-            ).to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(hit & early)).select(["o_orderkey", "o_orderdate"])
+    def semi_join(batch: pa.Table) -> pa.Table:
+        # stateless task: ray.get is a zero-copy object-store read per task
+        ks = ray.get(keys_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ks, ck)
+        idx[idx >= len(ks)] = 0
+        hit = ks[idx] == ck
+        early = pc.less(
+            batch["o_orderdate"], pa.scalar(CUT, type=pa.timestamp("us"))
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(hit & early)).select(["o_orderkey", "o_orderdate"])
 
     orders = (
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-        .map_batches(SemiJoin, fn_constructor_kwargs={"ref": keys_ref},
-                     batch_format="pyarrow", concurrency=(1, 2))
+        .map_batches(semi_join, batch_format="pyarrow")
     )
 
     def late_rev(batch: pa.Table) -> pa.Table:
@@ -1413,8 +1405,7 @@ def q_shipping_priority(sf_dir: str) -> pa.Table:
     ).map_batches(late_rev, batch_format="pyarrow")
 
     out = (
-        li.join(orders, join_type="inner", num_partitions=_join_partitions(),
-                on=("l_orderkey",), right_on=("o_orderkey",))
+        join_auto(li, orders, on="l_orderkey", right_on="o_orderkey")
         .groupby(["l_orderkey", "o_orderdate"])
         .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
         .sort(["revenue_e4", "l_orderkey"], descending=[True, False])
