@@ -116,7 +116,14 @@ def stratified_sample(ds, *, group_col: str, id_col: str, frac: float):
     quota map as a joined side, not a broadcast."""
     from ray.data.aggregate import Count
 
-    counts = ds.groupby(group_col).aggregate(Count(alias_name="n")).to_pandas()
+    # quota pass reads ONLY the stratum column (projection pushed into the
+    # scan) — the id column is first touched by the select pass below
+    counts = (
+        ds.select_columns([group_col])
+        .groupby(group_col)
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
     quotas = {
         g: int(math.ceil(frac * int(n)))
         for g, n in zip(counts[group_col], counts["n"])
