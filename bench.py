@@ -120,7 +120,10 @@ def _gen_chunk(root: str, per_chunk: int, seed: int, c: int, chunks: int) -> Non
     data.documents = docs.set_column(
         docs.column_names.index("partition_id"), "partition_id", shifted
     )
-    write_dataset(root, data)
+    # chunk 0 alone writes the shared sidecars (catalog ref pool is
+    # deterministic per chunk size → any chunk's catalog is THE catalog);
+    # concurrent same-file writes from every chunk corrupt the parquet
+    write_dataset(root, data, sidecars=(c == 0))
 
 
 def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:

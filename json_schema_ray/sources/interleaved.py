@@ -380,10 +380,22 @@ def _pick_docs_with_spans(rng, n_spans, rate, min_spans=1) -> np.ndarray:
     return np.sort(rng.choice(eligible, size=min(k, len(eligible)), replace=False))
 
 
-def write_dataset(out_dir: str, data: GeneratedData, n_parts: int | None = None) -> dict:
+def write_dataset(
+    out_dir: str, data: GeneratedData, n_parts: int | None = None,
+    sidecars: bool = True,
+) -> dict:
     """Write hive-partitioned documents (one directory per partition_id —
     the checkpoint/resume unit), the catalog, and ground truth.  Returns
-    paths dict."""
+    paths dict.
+
+    ``sidecars=False`` skips the shared catalog/ground-truth files: when
+    several generator tasks write chunks of one corpus concurrently
+    (bench ``mult`` > 1), exactly ONE of them may write the sidecars —
+    concurrent writes to the same parquet path interleave and corrupt it
+    (the media_ref pool is deterministic per chunk size, so any single
+    chunk's catalog carries the full ref set).  Sidecar writes go through
+    a temp file + ``os.replace`` so a crashed writer never leaves a
+    half-written catalog behind."""
     os.makedirs(out_dir, exist_ok=True)
     docs_dir = os.path.join(out_dir, "documents")
     pids = data.documents["partition_id"].to_numpy()
@@ -396,8 +408,13 @@ def write_dataset(out_dir: str, data: GeneratedData, n_parts: int | None = None)
             os.path.join(part_dir, "part.parquet"),
         )
     cat_path = os.path.join(out_dir, "media_catalog.parquet")
-    pq.write_table(data.catalog, cat_path)
     exp_path = os.path.join(out_dir, "expected_violations.json")
-    with open(exp_path, "w") as f:
-        json.dump(data.expected, f, indent=1, sort_keys=True)
+    if sidecars:
+        tmp = cat_path + f".tmp{os.getpid()}"
+        pq.write_table(data.catalog, tmp)
+        os.replace(tmp, cat_path)
+        tmp = exp_path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(data.expected, f, indent=1, sort_keys=True)
+        os.replace(tmp, exp_path)
     return {"documents": docs_dir, "catalog": cat_path, "expected": exp_path}
