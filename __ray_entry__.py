@@ -1988,6 +1988,57 @@ def q_window_funcs(sf_dir: str) -> pa.Table:
     )
 
 
+def q_line_dedup(sf_dir: str) -> pa.Table:
+    """CCNet-style line-level boilerplate removal over a derived
+    multi-line corpus (documents.text with ' the ' as the line break —
+    deterministic, SQL-replicable): discover lines occurring in ≥2
+    distinct docs (functions/text.frequent_lines — per-batch Arrow
+    explode + distinct combiner, only line strings cross the exchange),
+    broadcast the boilerplate set, scrub every doc
+    (functions/text.drop_lines — is_in + bincount + binary_join, no
+    Python per line) and report corpus totals.  The driver collect of the
+    frequent-line set is boilerplate-sized by construction (lines ABOVE a
+    doc-frequency floor — at web scale nav/footer/banner text, not the
+    corpus)."""
+    import ray
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        t = pc.replace_substring(batch["text"], " the ", "\n")
+        return batch.set_column(batch.column_names.index("text"), "text", t)
+
+    def mls():
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            to_lines, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    from json_schema_ray.functions.text import drop_lines, frequent_lines
+
+    freq = frequent_lines(mls(), min_docs=2).to_pandas()
+    n_boiler = len(freq)
+    drop_ref = ray.put(frozenset(freq["line"]))
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        out = drop_lines(batch, ray.get(drop_ref))
+        rem = out["n_lines_removed"]
+        affected = pc.sum(pc.cast(pc.greater(rem, 0), pa.int64())).as_py() or 0
+        removed = pc.sum(rem).as_py() or 0
+        return pa.table(
+            {
+                "affected_part": pa.array([affected], pa.int64()),
+                "removed_part": pa.array([removed], pa.int64()),
+            }
+        )
+
+    parts = mls().map_batches(scrub, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "n_boiler": pa.array([n_boiler], pa.int64()),
+            "n_docs_affected": pa.array([int(parts["affected_part"].sum())], pa.int64()),
+            "n_lines_removed": pa.array([int(parts["removed_part"].sum())], pa.int64()),
+        }
+    )
+
+
 def q_curation_funnel(sf_dir: str) -> pa.Table:
     """Full composed curation funnel (pipelines/curation.py): signal
     filter + PII scrub → exact dedup → MinHash near-dedup → benchmark
@@ -2476,6 +2527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only, self-checked verdict columns
         "sequence_pack": q_sequence_pack,
         "group_distinct": q_group_distinct,
+        "line_dedup": q_line_dedup,
         "curation_funnel": q_curation_funnel,
     }
 
@@ -3053,5 +3105,20 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt((CAST(n AS HUGEINT) * sy2 - CAST(sy AS HUGEINT) * sy)::DOUBLE)),
                          6) AS corr
             FROM m
+        """,
+        "line_dedup": """
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(string_split(replace(text, ' the ', chr(10)), chr(10))) AS line
+              FROM documents
+            ),
+            dl AS (SELECT DISTINCT doc_id, line FROM lines),
+            freq AS (SELECT line FROM dl GROUP BY line HAVING count(*) >= 2)
+            SELECT
+              CAST((SELECT count(*) FROM freq) AS BIGINT) AS n_boiler,
+              CAST((SELECT count(DISTINCT doc_id) FROM dl
+                    WHERE line IN (SELECT line FROM freq)) AS BIGINT) AS n_docs_affected,
+              CAST((SELECT count(*) FROM lines
+                    WHERE line IN (SELECT line FROM freq)) AS BIGINT) AS n_lines_removed
         """,
     }

@@ -545,3 +545,74 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     h = pd.util.hash_pandas_object(s, index=False).to_numpy()
     h[s.isna().to_numpy()] = 0
     return batch.append_column("fingerprint", pa.array(h.astype(np.uint64)))
+
+
+# ---------------------------------------------------------------- line dedup
+
+
+def frequent_lines(ds, *, text_col: str = "text", sep: str = "\n", min_docs: int = 2):
+    """CCNet-style frequent-line discovery: lines (text split on ``sep``)
+    that occur in ≥ ``min_docs`` DISTINCT documents — web boilerplate
+    (nav bars, cookie banners, footers) repeats verbatim across pages.
+
+    100-TB shape: per-batch Arrow explode (``pc.split_pattern`` →
+    ``list_flatten``/``list_parent_indices``, no Python per row), within-
+    batch (doc, line) distinct + per-line partial doc-counts collapse each
+    batch to its distinct lines BEFORE the exchange (the combiner), then
+    one ``groupby(line).sum`` + threshold filter.  Only line strings and
+    int counts shuffle — never documents.  A document's lines always land
+    in one batch (explode is per-row), so within-batch distinct is exact.
+
+    Returns a Dataset of ``(line, n_docs)`` rows, boilerplate-sized.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(batch[text_col], pattern=sep)
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines)
+        pairs = pa.table({"__d__": parent, "line": flat})
+        distinct = pairs.group_by(["__d__", "line"]).aggregate([])
+        return (
+            distinct.group_by("line")
+            .aggregate([("__d__", "count")])
+            .rename_columns(["line", "n_part"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("line")
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+    return counts.filter(expr=f"n_docs >= {int(min_docs)}")
+
+
+def drop_lines(
+    batch: pa.Table, drop: frozenset | set, *, text_col: str = "text", sep: str = "\n"
+) -> pa.Table:
+    """Remove every line in ``drop`` from each document; appends
+    ``n_lines_removed``.  Vectorized: one ``is_in`` over the flattened
+    lines, per-doc removal counts via ``bincount`` on parent indices, and
+    the cleaned text rebuilt with ``pc.binary_join`` over a re-offset list
+    array — no Python loop over rows or lines.
+
+    ``drop`` is the boilerplate set — broadcast it once per job with
+    ``ray.put`` and resolve inside the batch fn (constant-size regardless
+    of corpus size; see ``q_line_dedup``)."""
+    n = batch.num_rows
+    lines = pc.split_pattern(batch[text_col], pattern=sep)
+    flat = pc.list_flatten(lines)
+    parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    bad = pc.is_in(flat, value_set=pa.array(sorted(drop), type=pa.string()))
+    bad_np = bad.to_numpy(zero_copy_only=False)
+    removed = np.bincount(parent[bad_np], minlength=n).astype(np.int64)
+    keep_np = ~bad_np
+    kept_per_doc = np.bincount(parent[keep_np], minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(kept_per_doc, out=offsets[1:])
+    kept_list = pa.ListArray.from_arrays(
+        pa.array(offsets), flat.filter(pa.array(keep_np)).combine_chunks()
+    )
+    cleaned = pc.binary_join(kept_list, sep)
+    out = batch.set_column(batch.column_names.index(text_col), text_col, cleaned)
+    return out.append_column("n_lines_removed", pa.array(removed))
