@@ -294,6 +294,48 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
     return pa.table({"n_unique": pa.array([n], type=pa.int64())})
 
 
+def q_dedup_keep_best(sf_dir: str) -> pa.Table:
+    """Exact dedup keeping the BEST representative of each duplicate
+    group — longest raw text, id-ascending tiebreak (integer ordering →
+    bit-identical across engines) — instead of an arbitrary first.
+    functions/dedup.exact_dedup(score_col=...): bucket-partitioned, one
+    vectorized sort per bucket.  Output: kept-set count + exact integer
+    checksums."""
+    from json_schema_ray.functions.dedup import exact_dedup
+
+    def with_len(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_chars_raw", pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        with_len, batch_format="pyarrow", zero_copy_batch=True
+    )
+    kept = exact_dedup(ds, score_col="n_chars_raw")
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_part": pa.array([batch.num_rows], pa.int64()),
+                "ids_part": pa.array(
+                    [pc.sum(batch["doc_id"]).as_py() or 0], pa.int64()
+                ),
+                "chars_part": pa.array(
+                    [pc.sum(batch["n_chars_raw"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = kept.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "n_kept": pa.array([int(parts["n_part"].sum())], pa.int64()),
+            "sum_kept_ids": pa.array([int(parts["ids_part"].sum())], pa.int64()),
+            "sum_kept_chars": pa.array([int(parts["chars_part"].sum())], pa.int64()),
+        }
+    )
+
+
 def q_token_stats(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Sum
 
@@ -2464,6 +2506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "referential_hash": q_referential_hash,
         "json_props": q_json_props,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep_best": q_dedup_keep_best,
         "token_stats": q_token_stats,
         "groupby_events": q_groupby_events,
         "ts_range": q_ts_range,
@@ -2637,6 +2680,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT count(DISTINCT lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS n_unique FROM documents
+        """,
+        "dedup_keep_best": """
+            WITH d AS (
+              SELECT doc_id,
+                     lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm,
+                     length(text)::BIGINT AS n_chars_raw
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_chars_raw,
+                     row_number() OVER (
+                       PARTITION BY norm
+                       ORDER BY n_chars_raw DESC, doc_id ASC
+                     ) AS rn
+              FROM d
+            )
+            SELECT count(*)::BIGINT AS n_kept,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+                   CAST(sum(n_chars_raw) AS BIGINT) AS sum_kept_chars
+            FROM r WHERE rn = 1
         """,
         "token_stats": """
             SELECT lang, count(*) AS n_docs,

@@ -100,16 +100,33 @@ def _with_fp_bucket(ds, text_col: str, n_buckets: int, columns=None):
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id", n_buckets: int = 64):
-    """Keep one row per distinct normalized text (first id wins).
+def exact_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    score_col: str | None = None,
+):
+    """Keep one row per distinct normalized text.  Default: first id wins.
+    With ``score_col``: the group's HIGHEST score wins (id-ascending
+    tiebreak) — real curation keeps the best representative of each
+    duplicate group (e.g. the longest / highest-quality variant), not an
+    arbitrary one.  Use an exactly-ordered score (int length, quality
+    rank) when cross-engine reproducibility matters.
+
     Hash-partitioned on a SMALL int bucket, not the raw fingerprint —
     per-fingerprint ``map_groups`` would spin up one pandas group per
     distinct document (millions at scale); per-bucket groups keep the
-    inner first-of-fingerprint selection one vectorized sort + shifted
-    compare over the whole bucket.  Returns the deduplicated Dataset."""
+    inner selection one vectorized sort + shifted compare over the whole
+    bucket.  Returns the deduplicated Dataset."""
+
+    sort_keys = [("fingerprint", "ascending")]
+    if score_col is not None:
+        sort_keys.append((score_col, "descending"))
+    sort_keys.append((id_col, "ascending"))
 
     def keep_first(g: pa.Table) -> pa.Table:
-        t = g.sort_by([("fingerprint", "ascending"), (id_col, "ascending")])
+        t = g.sort_by(sort_keys)
         fp = t["fingerprint"].to_numpy(zero_copy_only=False)
         first = np.ones(len(t), dtype=bool)
         first[1:] = fp[1:] != fp[:-1]

@@ -62,6 +62,29 @@ def test_exact_dedup(ray_session):
     assert len(groups) == 1 and groups["ids"].iloc[0] == "1,2"
 
 
+def test_exact_dedup_keep_best(ray_session):
+    import ray.data as rd
+
+    from json_schema_ray.functions.dedup import exact_dedup
+
+    # doc 2 is the longer raw variant of the (1,2) dup group → kept under
+    # score_col; doc 1 (lower id) wins without it
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["aaa bbb", "AAA   BBB", "ccc", "ddd"],
+            "n_raw": [7, 9, 3, 3],
+        }
+    )
+    ds = rd.from_pandas(df)
+    best = exact_dedup(ds, score_col="n_raw").to_pandas()
+    assert set(best["doc_id"]) == {2, 3, 4}
+    # equal scores fall back to id-ascending (deterministic)
+    df2 = df.assign(n_raw=[5, 5, 3, 3])
+    best2 = exact_dedup(rd.from_pandas(df2), score_col="n_raw").to_pandas()
+    assert set(best2["doc_id"]) == {1, 3, 4}
+
+
 @pytest.fixture()
 def neardup_ds(ray_session):
     import ray.data as rd
