@@ -336,6 +336,48 @@ def q_dedup_keep_best(sf_dir: str) -> pa.Table:
     )
 
 
+def q_incremental_dedup(sf_dir: str) -> pa.Table:
+    """Incremental snapshot dedup: the 'new' shard (doc_id % 10 == 0)
+    deduped against the 'old' corpus (the rest) via a Bloom prefilter +
+    pruned exact-verification re-scan (functions/dedup.incremental_dedup
+    — the nightly-crawl-vs-100-TB-corpus pattern; no corpus join).  The
+    oracle makes this an exact check of the FP-rejection path: any Bloom
+    false positive surviving verification changes the counts."""
+    from json_schema_ray.functions.dedup import incremental_dedup
+
+    def _mod_filter(want_zero: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 10) == 0
+            return batch.filter(pa.array(m if want_zero else ~m))
+
+        return f
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    new = ds.map_batches(_mod_filter(True), batch_format="pyarrow")
+    old = ds.map_batches(_mod_filter(False), batch_format="pyarrow")
+    kept, _stats = incremental_dedup(new, old)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_part": pa.array([batch.num_rows], pa.int64()),
+                "ids_part": pa.array([pc.sum(batch["doc_id"]).as_py() or 0], pa.int64()),
+            }
+        )
+
+    parts = kept.map_batches(summarize, batch_format="pyarrow").to_pandas()
+    n_kept = int(parts["n_part"].sum())
+    n_new = new.count()
+    return pa.table(
+        {
+            "n_new": pa.array([n_new], pa.int64()),
+            "n_dropped": pa.array([n_new - n_kept], pa.int64()),
+            "sum_kept_ids": pa.array([int(parts["ids_part"].sum())], pa.int64()),
+        }
+    )
+
+
 def q_token_stats(sf_dir: str) -> pa.Table:
     from ray.data.aggregate import Count, Sum
 
@@ -2507,6 +2549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_props": q_json_props,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_best": q_dedup_keep_best,
+        "incremental_dedup": q_incremental_dedup,
         "token_stats": q_token_stats,
         "groupby_events": q_groupby_events,
         "ts_range": q_ts_range,
@@ -2699,6 +2742,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
                    CAST(sum(n_chars_raw) AS BIGINT) AS sum_kept_chars
             FROM r WHERE rn = 1
+        """,
+        "incremental_dedup": """
+            WITH d AS (
+              SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+              FROM documents
+            ),
+            oldc AS (SELECT norm FROM d WHERE doc_id % 10 != 0),
+            newc AS (SELECT doc_id, norm FROM d WHERE doc_id % 10 = 0)
+            SELECT count(*)::BIGINT AS n_new,
+                   CAST(count(*) FILTER (
+                     WHERE norm IN (SELECT norm FROM oldc)) AS BIGINT) AS n_dropped,
+                   CAST(coalesce(sum(doc_id) FILTER (
+                     WHERE norm NOT IN (SELECT norm FROM oldc)), 0) AS BIGINT) AS sum_kept_ids
+            FROM newc
         """,
         "token_stats": """
             SELECT lang, count(*) AS n_docs,

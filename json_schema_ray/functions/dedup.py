@@ -1069,3 +1069,116 @@ def embedding_near_dup(
     if len(out) == 0:
         return empty
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def incremental_dedup(
+    new_ds,
+    old_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 1 << 23,
+    k: int = 7,
+):
+    """Dedupe a NEW snapshot against an EXISTING corpus without joining
+    the corpora — the incremental-ingest pattern (nightly crawl vs the
+    accumulated 100-TB corpus):
+
+    1. *Index pass* (old): per-batch normalized-text fingerprints → Bloom
+       partials, OR-merged — constant ``n_bits/8`` bytes per batch
+       regardless of corpus size (driver fold here; swap for the
+       stages/drift tree merge at cluster scale).
+    2. *Probe pass* (new): Bloom membership → candidate fingerprints, a
+       small SUPERSET (true overlap + FP rate · n_new).
+    3. *Verify pass* (old, pruned): one ``is_in`` against the broadcast
+       candidate set confirms which candidates truly exist — Bloom false
+       positives die here, making the result EXACT.
+    4. *Filter pass* (new): drop rows whose fingerprint is confirmed.
+
+    No all-to-all exchange; driver state is ∝ candidates (documented
+    contract — at pathological overlap rates route to ``exact_dedup``
+    over the union instead).  Returns ``(kept_new_ds, stats: dict)``.
+    """
+    import ray
+
+    from ..state.bloom import BloomFilter
+
+    def fp_only(b: pa.Table) -> pa.Table:
+        return add_fingerprint(b, text_col).select(["fingerprint"])
+
+    # 1. index: one bloom blob per batch, OR-fold driver-side
+    def bloom_partial(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits=n_bits, k=k)
+        bf.add_hashes(add_fingerprint(b, text_col)["fingerprint"].to_numpy(zero_copy_only=False))
+        return pa.table({"blob": pa.array([bf.words.tobytes()], pa.large_binary())})
+
+    bloom = BloomFilter(n_bits=n_bits, k=k)
+    for part in old_ds.map_batches(bloom_partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for blob in part["blob"].to_pylist():
+            bloom.merge(BloomFilter(n_bits=n_bits, k=k, words=np.frombuffer(blob, dtype=np.uint64).copy()))
+    bloom_ref = ray.put(bloom.words)
+
+    # 2. probe: candidate fingerprints (superset)
+    def probe(b: pa.Table) -> pa.Table:
+        bf = BloomFilter(n_bits=n_bits, k=k, words=ray.get(bloom_ref))
+        fps = add_fingerprint(b, text_col)["fingerprint"].to_numpy(zero_copy_only=False)
+        return pa.table({"fingerprint": pa.array(np.unique(fps[bf.contains_hashes(fps)]), pa.uint64())})
+
+    cand = np.unique(
+        np.concatenate(
+            [
+                b["fingerprint"].to_numpy(zero_copy_only=False)
+                for b in new_ds.map_batches(probe, batch_format="pyarrow").iter_batches(
+                    batch_size=None, batch_format="pyarrow"
+                )
+            ]
+            or [np.array([], dtype=np.uint64)]
+        )
+    )
+    n_candidates = int(len(cand))
+
+    # 3. verify: which candidates actually exist in the old corpus
+    confirmed = np.array([], dtype=np.uint64)
+    if n_candidates:
+        cand_arr = pa.array(cand, pa.uint64())
+
+        def verify(b: pa.Table) -> pa.Table:
+            fps = b["fingerprint"]
+            hit = pc.is_in(fps, value_set=cand_arr)
+            return pa.table({"fingerprint": pc.unique(fps.filter(hit))})
+
+        confirmed = np.unique(
+            np.concatenate(
+                [
+                    b["fingerprint"].to_numpy(zero_copy_only=False)
+                    for b in old_ds.map_batches(fp_only, batch_format="pyarrow")
+                    .map_batches(verify, batch_format="pyarrow")
+                    .iter_batches(batch_size=None, batch_format="pyarrow")
+                ]
+                or [np.array([], dtype=np.uint64)]
+            )
+        )
+    conf_ref = ray.put(confirmed)
+
+    # 4. filter the new snapshot
+    def scrub(b: pa.Table) -> pa.Table:
+        conf = ray.get(conf_ref)
+        fps = add_fingerprint(b, text_col)["fingerprint"]
+        if len(conf) == 0:
+            return b
+        keep = pc.invert(pc.is_in(fps, value_set=pa.array(conf, pa.uint64())))
+        return b.filter(keep)
+
+    kept = new_ds.map_batches(scrub, batch_format="pyarrow")
+    stats = {
+        "n_candidates": n_candidates,
+        "n_confirmed": int(len(confirmed)),
+        "bloom_fill": bloom.fill_frac,
+        "bloom_fp_rate": bloom.fp_rate(),
+    }
+    return kept, stats
