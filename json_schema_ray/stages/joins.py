@@ -127,10 +127,20 @@ def join_auto(
     """
     right_mat = right.materialize()
     n_right = right_mat.count()
-    if join_type == "inner" and 0 < n_right <= broadcast_threshold_rows:
-        tbl = pa.concat_tables(
-            right_mat.iter_batches(batch_size=None, batch_format="pyarrow")
-        )
+    if join_type == "inner" and n_right <= broadcast_threshold_rows:
+        if n_right:
+            tbl = pa.concat_tables(
+                right_mat.iter_batches(batch_size=None, batch_format="pyarrow")
+            )
+        else:
+            # empty dimension: inner join is trivially empty, but the native
+            # hash join crashes on schema-less empty blocks (the vocab_score
+            # race) — resolve through the broadcast path with a typed empty
+            # table built from the dataset schema
+            sch = right_mat.schema()
+            tbl = pa.table(
+                {nm: pa.array([], type=t) for nm, t in zip(sch.names, sch.types)}
+            )
         try:
             return broadcast_inner_join(left, tbl, on=on, right_on=right_on)
         except ValueError:

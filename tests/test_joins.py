@@ -83,6 +83,17 @@ def test_join_auto_falls_back_on_duplicates(ray_session):
     assert len(out) == 3  # k=1 fans out to two rows, k=2 one row
 
 
+def test_join_auto_empty_right_side(ray_session):
+    # empty dimension must not reach the native hash join (schema-less
+    # empty blocks crash it) — inner join resolves to 0 rows
+    left = ray.data.from_arrow(pa.table({"k": [1, 2, 3], "v": [0.1, 0.2, 0.3]}))
+    right = ray.data.from_arrow(
+        pa.table({"dk": pa.array([], pa.int64()), "lab": pa.array([], pa.string())})
+    )
+    out = join_auto(left, right, on="k", right_on="dk").to_pandas()
+    assert len(out) == 0
+
+
 def test_join_partitions_scales_with_cpus(ray_session):
     # local session: just the floor/shape contract
     assert join_partitions() >= 8
