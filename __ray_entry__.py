@@ -1557,11 +1557,13 @@ def q_quantiles_by_group(sf_dir: str) -> pa.Table:
 def q_vocab_score(sf_dir: str) -> pa.Table:
     """Two-pass corpus-frequency scoring (the unigram-LM building block):
     pass 1 builds the global token→count table with a distributed groupby;
-    pass 2 re-joins it to the exploded tokens via the native hash join —
-    NOT a broadcast, because a web-scale vocabulary doesn't fit one heap —
-    and re-aggregates per doc.  Scores are exact int64 sums (sum over a
-    doc's token occurrences of that token's corpus frequency), so the
-    distributed result hash-matches SQL bit-for-bit.
+    pass 2 re-joins it to the exploded tokens — size-aware like
+    stages/joins.join_auto: a vocabulary under the dimension threshold
+    broadcasts (fused index_in join + per-block partial aggregation, one
+    exchange row per doc), a web-scale vocabulary that doesn't fit one
+    heap takes the native hash join.  Scores are exact int64 sums (sum
+    over a doc's token occurrences of that token's corpus frequency), so
+    the distributed result hash-matches SQL bit-for-bit.
 
     Both join inputs are projected to explicit, fixed Arrow schemas and the
     small counts side is materialized before Dataset.join: empty blocks
@@ -1596,15 +1598,62 @@ def q_vocab_score(sf_dir: str) -> pa.Table:
         .map_batches(project_counts, batch_format="pyarrow")
         .materialize()
     )
-    out = (
-        toks.join(counts, join_type="inner",
-                  num_partitions=_join_partitions(), on=("token",))
-        .groupby("doc_id")
-        .aggregate(Count(alias_name="n_tokens"), Sum("c", alias_name="commonness"))
-        .sort(["commonness", "doc_id"], descending=[True, False])
-        .limit(10)
-        .to_pandas()
-    )
+    n_vocab = counts.count()
+    if n_vocab <= 1_000_000:
+        # the vocabulary fits a broadcast (the join_auto dimension
+        # threshold): fused map-side join + per-block partial aggregation
+        # — pc.index_in resolves each token against the broadcast vocab
+        # and tokens collapse to ONE row per doc before the only exchange
+        # (a per-doc groupby over 1 row/doc).  Above the threshold the
+        # web-scale plan below shuffles instead.
+        import ray
+
+        cnt_tbl = pa.concat_tables(
+            counts.iter_batches(batch_size=None, batch_format="pyarrow")
+        ).combine_chunks()
+        vocab_ref = ray.put((cnt_tbl["token"], cnt_tbl["c"]))
+
+        def score_part(batch: pa.Table) -> pa.Table:
+            vtok, vc = ray.get(vocab_ref)
+            pos = pc.index_in(batch["token"], value_set=vtok)
+            hit = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+            cvals = pc.take(vc, pc.fill_null(pos, 0)).to_numpy(zero_copy_only=False)
+            cvals = np.where(hit, cvals, 0)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            uids, inv = np.unique(ids, return_inverse=True)
+            return pa.table(
+                {
+                    "doc_id": pa.array(uids, pa.int64()),
+                    "n_tokens": pa.array(
+                        np.bincount(inv, weights=hit.astype(np.float64)).astype(np.int64)
+                    ),
+                    "commonness": pa.array(
+                        np.bincount(inv, weights=cvals.astype(np.float64)).astype(np.int64)
+                    ),
+                }
+            )
+
+        scored = toks.map_batches(score_part, batch_format="pyarrow")
+        out = (
+            scored.groupby("doc_id")
+            .aggregate(
+                Sum("n_tokens", alias_name="n_tokens"),
+                Sum("commonness", alias_name="commonness"),
+            )
+            .sort(["commonness", "doc_id"], descending=[True, False])
+            .limit(10)
+            .to_pandas()
+        )
+    else:  # pragma: no cover - web-scale vocabulary path (exercised via join tests)
+        out = (
+            toks.join(counts, join_type="inner",
+                      num_partitions=_join_partitions(), on=("token",))
+            .groupby("doc_id")
+            .aggregate(Count(alias_name="n_tokens"), Sum("c", alias_name="commonness"))
+            .sort(["commonness", "doc_id"], descending=[True, False])
+            .limit(10)
+            .to_pandas()
+        )
     for c in ("doc_id", "n_tokens", "commonness"):
         out[c] = out[c].astype(np.int64)
     return pa.Table.from_pandas(out[["doc_id", "n_tokens", "commonness"]], preserve_index=False)
