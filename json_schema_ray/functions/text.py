@@ -616,3 +616,146 @@ def drop_lines(
     cleaned = pc.binary_join(kept_list, sep)
     out = batch.set_column(batch.column_names.index(text_col), text_col, cleaned)
     return out.append_column("n_lines_removed", pa.array(removed))
+
+
+# ----------------------------------------------------- fused ASCII byte pass
+
+
+def ascii_text_stats(arr: pa.Array | pa.ChunkedArray):
+    """One pass over the raw UTF-8 buffer computing every count the
+    extended content battery needs — exactly what the five separate RE2
+    kernels compute, for ASCII input:
+
+    - ``n_chars``  = ``pc.utf8_length``            (offset diffs)
+    - ``n_tok``    = ``count_substring_regex(\\S+)`` (whitespace-run starts)
+    - ``n_bpe``    = ``TOKEN_RE`` pieces            (alpha runs + digit runs
+                     + other non-space bytes)
+    - ``n_punct``  = ``[^\\w\\s]`` matches           (byte-class count)
+    - ``n_stop``   = ``(?i)\\b(stopword)\\b`` matches (maximal ``\\w`` runs
+                     equal, lowercased, to a stopword)
+
+    Returns ``None`` unless every value is ASCII (caller falls back to the
+    regex kernels — semantics are identical either way, differential-
+    tested).
+
+    **Measured negative result (round 4)**: same-phase A/B vs the five
+    RE2 passes shows NO speedup (15 vs 17 MB/s single-core), with or
+    without 256 KiB cache blocking — the ~25 numpy byte-class ops cost as
+    much as RE2's fused state machines, so the battery keeps the regex
+    kernels and this stays a standalone exact-parity op (useful where a
+    caller wants all five counts in one call).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        z = np.zeros(0, dtype=np.float64)
+        return {"n_chars": z, "n_tok": z, "n_bpe": z, "n_punct": z, "n_stop": z}
+    if not pc.all(pc.string_is_ascii(arr)).as_py():
+        return None
+    if arr.null_count:
+        arr = arr.fill_null("")
+
+    # cache blocking (same trick as add_winnow_fingerprints): the pass is
+    # ~20 numpy ops over byte-sized temporaries — run them over ≤256 KiB
+    # row-aligned slices so every temp stays L2-resident and the data
+    # buffer streams from DRAM exactly once
+    _CHUNK = 1 << 18
+    all_off = np.frombuffer(
+        arr.buffers()[1],
+        dtype=np.int64 if pa.types.is_large_string(arr.type) else np.int32,
+        count=len(arr) + 1 + arr.offset,
+    )[arr.offset:]
+    total_bytes = int(all_off[-1] - all_off[0])
+    if total_bytes > _CHUNK and len(arr) > 1:
+        outs = []
+        row = 0
+        base = int(all_off[0])
+        while row < len(arr):
+            stop = int(np.searchsorted(all_off, base + _CHUNK, side="left"))
+            stop = max(stop, row + 1)
+            outs.append(_ascii_stats_block(arr.slice(row, stop - row)))
+            base = int(all_off[stop]) if stop < len(arr) else int(all_off[-1])
+            row = stop
+        return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+    return _ascii_stats_block(arr)
+
+
+def _ascii_stats_block(arr: pa.Array):
+    buffers = arr.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset:].astype(np.int64)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    data = np.frombuffer(buffers[2], dtype=np.uint8, count=hi)[lo:hi]
+    starts = offsets[:-1] - lo
+    ends = offsets[1:] - lo
+    n_chars = (ends - starts).astype(np.float64)
+
+    nb = len(data)
+    # byte classes
+    is_ws = ((data == 32) | ((data >= 9) & (data <= 13)))
+    is_alpha = ((data >= 65) & (data <= 90)) | ((data >= 97) & (data <= 122))
+    is_digit = (data >= 48) & (data <= 57)
+    is_word = is_alpha | is_digit | (data == 95)  # \w = [A-Za-z0-9_]
+
+    # prev-byte view with row boundaries acting as whitespace/non-word
+    def run_starts(cls: np.ndarray) -> np.ndarray:
+        s = cls.copy()
+        s[1:] &= ~cls[:-1]
+        s[starts[starts < nb]] = cls[starts[starts < nb]]  # row start = boundary
+        return s
+
+    def per_row(x) -> np.ndarray:
+        cs = np.concatenate([[0], np.cumsum(x, dtype=np.int64)])
+        return (cs[ends] - cs[starts]).astype(np.float64)
+
+    nonws = ~is_ws
+    n_tok = per_row(run_starts(nonws))
+    alpha_starts = run_starts(is_alpha)
+    digit_starts = run_starts(is_digit)
+    other = nonws & ~is_alpha & ~is_digit  # TOKEN_RE third branch: one per byte
+    n_bpe = per_row(alpha_starts) + per_row(digit_starts) + per_row(other)
+    n_punct = per_row(nonws & ~is_word)
+
+    # stopwords: maximal \w runs of length 2-4 equal (lowercased) to a marker
+    w_starts = run_starts(is_word)
+    ws_idx = np.nonzero(w_starts)[0]
+    n_stop = np.zeros(len(arr), dtype=np.float64)
+    if len(ws_idx):
+        # run end = next position where is_word stops (within the row)
+        w_ends_mask = is_word.copy()
+        w_ends_mask[:-1] &= ~is_word[1:]
+        e_in_row = ends[ends <= nb] - 1
+        # row-final word bytes end their run
+        w_ends_mask[e_in_row[e_in_row >= 0]] |= is_word[e_in_row[e_in_row >= 0]]
+        we_idx = np.nonzero(w_ends_mask)[0]
+        # align: every start has exactly one end ≥ it
+        pos = np.searchsorted(we_idx, ws_idx)
+        run_end = we_idx[pos]
+        run_len = run_end - ws_idx + 1
+        lower = data | np.uint8(0x20)  # alpha → lowercase; digits/_ unaffected for compare
+        n_stop_hits = np.zeros(len(ws_idx), dtype=bool)
+        by_len = {}
+        for wrd in STOPWORDS:
+            by_len.setdefault(len(wrd), []).append(
+                np.frombuffer(wrd.encode(), dtype=np.uint8)
+            )
+        for L, words in by_len.items():
+            sel = np.nonzero(run_len == L)[0]
+            if not len(sel):
+                continue
+            base = ws_idx[sel]
+            gathered = np.stack([lower[base + j] for j in range(L)], axis=1)
+            m = np.zeros(len(sel), dtype=bool)
+            for wb in words:
+                m |= (gathered == wb[None, :]).all(axis=1)
+            n_stop_hits[sel] = m
+        hit_pos = ws_idx[n_stop_hits]
+        if len(hit_pos):
+            row_of = np.searchsorted(ends, hit_pos, side="right")
+            np.add.at(n_stop, row_of, 1.0)
+
+    return {
+        "n_chars": n_chars, "n_tok": n_tok, "n_bpe": n_bpe,
+        "n_punct": n_punct, "n_stop": n_stop,
+    }
