@@ -198,8 +198,17 @@ def run_validation(
     timings: dict[str, float] = {}
 
     # scoped: restored at each return (on exception the cap persists for
-    # the process — harmless, it is a performance knob, not a semantic one)
-    _restore_headroom = _apply_cpu_headroom()
+    # the process — harmless, it is a performance knob, not a semantic one).
+    # The cap is a decode-profile mitigation: the extended (compute) battery
+    # keeps cores in userspace arithmetic, where idling a quarter of them
+    # just loses throughput — calm-phase same-phase A/B at 32 CPUs measured
+    # 8.4–9.2 s capped vs 7.0–7.2 s uncapped (round 4), so extended runs
+    # default the cap OFF (JSR_CPU_HEADROOM still overrides either way).
+    _restore_headroom = (
+        _noop_restore
+        if (extended_checks and os.environ.get("JSR_CPU_HEADROOM") is None)
+        else _apply_cpu_headroom()
+    )
 
     from ..sources.reader import is_lance_dataset, read_auto
 
