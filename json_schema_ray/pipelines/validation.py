@@ -274,7 +274,8 @@ def run_validation(
         ds = read_auto(docs_dir)
         hive_layout = True  # partition_id arrives as a real column
     else:
-        nblocks = max(len(all_files), n_cpus * 16)
+        bpc = int(os.environ.get("JSR_BLOCKS_PER_CPU", "16"))
+        nblocks = max(len(all_files), n_cpus * bpc)
         ds = rd.read_parquet(all_files, override_num_blocks=nblocks)
         # hive layouts carry partition_id in the path (no schema fetch needed)
         hive_layout = all(("partition_id=" in f) for f in all_files)
