@@ -1462,9 +1462,12 @@ def q_shipping_priority(sf_dir: str) -> pa.Table:
         # stateless task: ray.get is a zero-copy object-store read per task
         ks = ray.get(keys_ref)
         ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(ks, ck)
-        idx[idx >= len(ks)] = 0
-        hit = ks[idx] == ck
+        if len(ks):
+            idx = np.searchsorted(ks, ck)
+            idx[idx >= len(ks)] = 0
+            hit = ks[idx] == ck
+        else:
+            hit = np.zeros(len(ck), dtype=bool)
         early = pc.less(
             batch["o_orderdate"], pa.scalar(CUT, type=pa.timestamp("us"))
         ).to_numpy(zero_copy_only=False)
@@ -1598,8 +1601,10 @@ def q_vocab_score(sf_dir: str) -> pa.Table:
         .map_batches(project_counts, batch_format="pyarrow")
         .materialize()
     )
+    from json_schema_ray.stages.joins import BROADCAST_THRESHOLD_ROWS
+
     n_vocab = counts.count()
-    if n_vocab <= 1_000_000:
+    if n_vocab <= BROADCAST_THRESHOLD_ROWS:
         # the vocabulary fits a broadcast (the join_auto dimension
         # threshold): fused map-side join + per-block partial aggregation
         # — pc.index_in resolves each token against the broadcast vocab
@@ -1618,18 +1623,20 @@ def q_vocab_score(sf_dir: str) -> pa.Table:
             pos = pc.index_in(batch["token"], value_set=vtok)
             hit = pc.is_valid(pos).to_numpy(zero_copy_only=False)
             cvals = pc.take(vc, pc.fill_null(pos, 0)).to_numpy(zero_copy_only=False)
-            cvals = np.where(hit, cvals, 0)
+            cvals = np.where(hit, cvals, 0).astype(np.int64)
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
             uids, inv = np.unique(ids, return_inverse=True)
+            # int64 accumulators via np.add.at — float bincount weights
+            # would round above 2^53, breaking the exact-sum contract
+            n_tok = np.zeros(len(uids), dtype=np.int64)
+            np.add.at(n_tok, inv, hit.astype(np.int64))
+            comm = np.zeros(len(uids), dtype=np.int64)
+            np.add.at(comm, inv, cvals)
             return pa.table(
                 {
                     "doc_id": pa.array(uids, pa.int64()),
-                    "n_tokens": pa.array(
-                        np.bincount(inv, weights=hit.astype(np.float64)).astype(np.int64)
-                    ),
-                    "commonness": pa.array(
-                        np.bincount(inv, weights=cvals.astype(np.float64)).astype(np.int64)
-                    ),
+                    "n_tokens": pa.array(n_tok),
+                    "commonness": pa.array(comm),
                 }
             )
 
@@ -2148,7 +2155,9 @@ def q_line_dedup(sf_dir: str) -> pa.Table:
 
     freq = frequent_lines(mls(), min_docs=2).to_pandas()
     n_boiler = len(freq)
-    drop_ref = ray.put(frozenset(freq["line"]))
+    # broadcast a prebuilt Arrow array: drop_lines then skips the per-batch
+    # sort + conversion of the whole boilerplate set
+    drop_ref = ray.put(pa.array(sorted(freq["line"]), type=pa.string()))
 
     def scrub(batch: pa.Table) -> pa.Table:
         out = drop_lines(batch, ray.get(drop_ref))

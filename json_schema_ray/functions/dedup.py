@@ -1163,15 +1163,17 @@ def incremental_dedup(
                 or [np.array([], dtype=np.uint64)]
             )
         )
-    conf_ref = ray.put(confirmed)
+    # broadcast a prebuilt Arrow array — per-batch numpy→Arrow conversion of
+    # the confirmed set would repeat O(|confirmed|) work every batch
+    conf_ref = ray.put(pa.array(confirmed, pa.uint64()))
 
     # 4. filter the new snapshot
     def scrub(b: pa.Table) -> pa.Table:
         conf = ray.get(conf_ref)
-        fps = add_fingerprint(b, text_col)["fingerprint"]
         if len(conf) == 0:
             return b
-        keep = pc.invert(pc.is_in(fps, value_set=pa.array(conf, pa.uint64())))
+        fps = add_fingerprint(b, text_col)["fingerprint"]
+        keep = pc.invert(pc.is_in(fps, value_set=conf))
         return b.filter(keep)
 
     kept = new_ds.map_batches(scrub, batch_format="pyarrow")

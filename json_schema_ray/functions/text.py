@@ -588,7 +588,11 @@ def frequent_lines(ds, *, text_col: str = "text", sep: str = "\n", min_docs: int
 
 
 def drop_lines(
-    batch: pa.Table, drop: frozenset | set, *, text_col: str = "text", sep: str = "\n"
+    batch: pa.Table,
+    drop: frozenset | set | pa.Array,
+    *,
+    text_col: str = "text",
+    sep: str = "\n",
 ) -> pa.Table:
     """Remove every line in ``drop`` from each document; appends
     ``n_lines_removed``.  Vectorized: one ``is_in`` over the flattened
@@ -603,7 +607,13 @@ def drop_lines(
     lines = pc.split_pattern(batch[text_col], pattern=sep)
     flat = pc.list_flatten(lines)
     parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
-    bad = pc.is_in(flat, value_set=pa.array(sorted(drop), type=pa.string()))
+    # a prebuilt Arrow array (broadcast once via ray.put) skips the
+    # per-batch sort + Python->Arrow conversion of the whole drop set
+    value_set = (
+        drop if isinstance(drop, pa.Array)
+        else pa.array(sorted(drop), type=pa.string())
+    )
+    bad = pc.is_in(flat, value_set=value_set)
     bad_np = bad.to_numpy(zero_copy_only=False)
     removed = np.bincount(parent[bad_np], minlength=n).astype(np.int64)
     keep_np = ~bad_np

@@ -18,8 +18,10 @@ side.  Above it, the exchange is the right plan and the planner routes
 there.
 
 Only single-key equality joins take the broadcast path, and the right
-key must be UNIQUE (a dimension) — duplicate right keys raise, because
-a fan-out join needs the shuffle plan's general machinery.
+key must be UNIQUE (a dimension) — duplicate right keys raise
+``DuplicateRightKeys``, because a fan-out join needs the shuffle plan's
+general machinery.  Null right keys are dropped before indexing (SQL
+inner-join semantics: NULL matches nothing), so both plans agree.
 """
 
 from __future__ import annotations
@@ -27,7 +29,24 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["broadcast_inner_join", "join_auto", "join_partitions"]
+__all__ = [
+    "BROADCAST_THRESHOLD_ROWS",
+    "DuplicateRightKeys",
+    "broadcast_inner_join",
+    "join_auto",
+    "join_partitions",
+]
+
+# the dimension-size cutoff for map-side joins; shared by every size-aware
+# plan (join_auto, q_vocab_score's fused scoring path)
+BROADCAST_THRESHOLD_ROWS = 1_000_000
+
+
+class DuplicateRightKeys(ValueError):
+    """Right side is not a dimension (duplicate join keys) — the signal
+    join_auto uses to fall through to the shuffle plan.  A dedicated type
+    so genuine ValueErrors/ArrowInvalids in the broadcast build propagate
+    instead of silently rerouting."""
 
 
 def join_partitions(small: bool = False) -> int:
@@ -48,12 +67,16 @@ def join_partitions(small: bool = False) -> int:
 
 
 def _right_index(right: pa.Table, key: str):
-    """Sort the right side by key → (sorted keys np array, sorted table)."""
+    """Drop null keys (inner semantics: NULL matches nothing — and they
+    would break both searchsorted and the duplicate check), sort by key →
+    (sorted keys np array, sorted table)."""
+    if right[key].null_count:
+        right = right.filter(pa.compute.is_valid(right[key]))
     order = pa.compute.sort_indices(right[key])
     sorted_tbl = right.take(order)
     keys = sorted_tbl[key].to_numpy(zero_copy_only=False)
     if len(keys) > 1 and (keys[1:] == keys[:-1]).any():
-        raise ValueError(
+        raise DuplicateRightKeys(
             f"broadcast join requires unique right keys; {key!r} has duplicates "
             "— use the shuffle plan (Dataset.join) for fan-out joins"
         )
@@ -74,7 +97,11 @@ def broadcast_inner_join(
     each map task gets it zero-copy from the local object store and
     resolves matches with one ``searchsorted`` per batch.  Left rows
     without a match are dropped (inner semantics).  Returns a Dataset
-    with the left columns plus the right table's non-key columns.
+    with the left columns plus the right table's non-key columns — the
+    same output shape as ``Dataset.join`` (which merges the right key
+    into the left one), so the two plans are interchangeable.
+    Overlapping non-key column names raise — a silent overwrite would
+    make the plans diverge.
     """
     import ray
 
@@ -82,14 +109,25 @@ def broadcast_inner_join(
     keys, sorted_tbl = _right_index(right, rk)
     payload_cols = [c for c in sorted_tbl.column_names if keep_right_key or c != rk]
     payload = sorted_tbl.select(payload_cols)
+    left_names = set(left.schema().names)
+    clash = [c for c in payload.column_names if c in left_names]
+    if clash:
+        raise ValueError(
+            f"broadcast join output would overwrite left columns {clash}; "
+            "rename or drop them on one side first"
+        )
     idx_ref = ray.put((keys, payload))
 
     def _join_batch(batch: pa.Table) -> pa.Table:
         k, pay = ray.get(idx_ref)
         lk = batch[on].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(k, lk)
-        pos[pos >= len(k)] = 0
-        hit = (k[pos] == lk) if len(k) else np.zeros(len(lk), dtype=bool)
+        if len(k):
+            pos = np.searchsorted(k, lk)
+            pos[pos >= len(k)] = 0
+            hit = k[pos] == lk
+        else:
+            pos = np.zeros(len(lk), dtype=np.int64)
+            hit = np.zeros(len(lk), dtype=bool)
         if not hit.any():
             # keep the output schema stable on empty batches
             cols = {c: batch[c].filter(pa.array(hit)) for c in batch.column_names}
@@ -113,7 +151,7 @@ def join_auto(
     on: str,
     right_on: str | None = None,
     join_type: str = "inner",
-    broadcast_threshold_rows: int = 1_000_000,
+    broadcast_threshold_rows: int = BROADCAST_THRESHOLD_ROWS,
     num_partitions: int | None = None,
 ):
     """Join two Datasets, picking broadcast vs shuffle by right-side size.
@@ -122,8 +160,9 @@ def join_auto(
     plan consumes the materialized blocks anyway, so this costs nothing
     extra; callers who KNOW the right side is huge should call
     ``Dataset.join`` directly and skip the count).  Broadcast requires
-    inner join + unique right key; anything else falls through to the
-    native shuffle join.
+    inner join + unique right key; duplicates fall through to the native
+    shuffle join.  Both plans produce the same columns (left + right
+    non-key columns); null right keys match nothing on either.
     """
     right_mat = right.materialize()
     n_right = right_mat.count()
@@ -143,8 +182,8 @@ def join_auto(
             )
         try:
             return broadcast_inner_join(left, tbl, on=on, right_on=right_on)
-        except ValueError:
-            pass  # duplicate right keys: fall through to shuffle
+        except DuplicateRightKeys:
+            pass  # fan-out join: fall through to shuffle
     if num_partitions is None:
         num_partitions = join_partitions()
     return left.join(

@@ -46,8 +46,8 @@ def test_broadcast_matches_shuffle(ray_session):
     want = left.join(
         right, join_type="inner", num_partitions=8, on=("k",), right_on=("dk",)
     ).to_pandas()
-    # broadcast drops the right key column; align
-    want = want.drop(columns=["dk"], errors="ignore")
+    # identical columns on both plans (right key merged into the left key)
+    assert sorted(got.columns) == sorted(want.columns)
     assert _sorted_pd(got).equals(_sorted_pd(want))
     assert len(got) > 0 and len(got) < fact.num_rows
 
@@ -61,8 +61,21 @@ def test_join_auto_routes_by_threshold(ray_session):
                    broadcast_threshold_rows=10_000).to_pandas()
     sh = join_auto(left, right, on="k", right_on="dk",
                    broadcast_threshold_rows=0).to_pandas()
-    sh = sh.drop(columns=["dk"], errors="ignore")
     assert _sorted_pd(bc).equals(_sorted_pd(sh))
+
+
+def test_broadcast_null_right_keys_match_nothing(ray_session):
+    left = ray.data.from_arrow(pa.table({"k": ["a", "b", "c"], "v": [1, 2, 3]}))
+    dim = pa.table({"dk": ["a", None, "c"], "lab": ["A", "NULL", "C"]})
+    out = broadcast_inner_join(left, dim, on="k", right_on="dk").to_pandas()
+    assert sorted(out["k"]) == ["a", "c"]  # no crash, NULL matches nothing
+
+
+def test_broadcast_rejects_column_clash(ray_session):
+    left = ray.data.from_arrow(pa.table({"k": [1, 2], "label": ["x", "y"]}))
+    dim = pa.table({"dk": [1, 2], "label": ["a", "b"]})
+    with pytest.raises(ValueError, match="overwrite left columns"):
+        broadcast_inner_join(left, dim, on="k", right_on="dk")
 
 
 def test_broadcast_rejects_duplicate_right_keys(ray_session):
