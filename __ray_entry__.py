@@ -2594,6 +2594,190 @@ def q_anti_join(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_regional_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q5 shape: six-table star join — revenue per nation for orders
+    whose customer AND line-supplier sit in the same ASIA nation.
+
+    100-TB plan: region⋈nation collapse to a driver-side constant (≤25
+    rows); the supplier→nation map is a broadcast sorted-array lookup
+    applied INSIDE the lineitem scan (suppliers are dimension-sized at
+    any SF — 10k/SF vs 6M/SF lineitem); customer⋈orders and
+    lineitem⋈orders route through the size-aware planner
+    (stages/joins.join_auto: map-side broadcast under the threshold,
+    native hash join above).  Revenue in exact e4 integer units so
+    distributed partial sums hash-match SQL bit-for-bit; the final
+    nation-name stitch touches ≤25 aggregated rows on the driver."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from json_schema_ray.stages.joins import join_auto
+
+    LO = pd.Timestamp("1995-01-01")
+    HI = pd.Timestamp("1997-01-01")
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia_key = reg.filter(pc.equal(reg["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+    nat_asia = nat.filter(pc.equal(nat["n_regionkey"], asia_key))
+    nation_name = dict(
+        zip(nat_asia["n_nationkey"].to_pylist(), nat_asia["n_name"].to_pylist())
+    )
+    asia_nations = np.sort(np.array(list(nation_name), dtype=np.int64))
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).sort_by("s_suppkey")
+    sk = supp["s_suppkey"].to_numpy()
+    sn = supp["s_nationkey"].to_numpy().astype(np.int64)
+    in_asia = np.isin(sn, asia_nations)
+    supp_ref = ray.put((sk[in_asia], sn[in_asia]))
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(nk, asia_nations)
+        b = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_filter, batch_format="pyarrow"
+    )
+
+    def ord_filter(batch: pa.Table) -> pa.Table:
+        lo = pa.scalar(LO, type=pa.timestamp("us"))
+        hi = pa.scalar(HI, type=pa.timestamp("us"))
+        keep = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], lo), pc.less(batch["o_orderdate"], hi)
+        )
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        ord_filter, batch_format="pyarrow"
+    )
+    ord_c = join_auto(orders, cust, on="o_custkey", right_on="c_custkey").select_columns(
+        ["o_orderkey", "c_nationkey"]
+    )
+
+    def li_rev(batch: pa.Table) -> pa.Table:
+        # broadcast supplier→nation lookup: zero-copy object-store read per task
+        keys, nats = ray.get(supp_ref)
+        lk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(keys):
+            idx = np.searchsorted(keys, lk)
+            idx[idx >= len(keys)] = 0
+            hit = keys[idx] == lk
+        else:
+            idx = np.zeros(len(lk), dtype=np.int64)
+            hit = np.zeros(len(lk), dtype=bool)
+        b = batch.filter(pa.array(hit))
+        s_nat = nats[idx[hit]]
+        price_e2 = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64())
+        disc_e2 = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        rev_e4 = pc.multiply(price_e2, pc.subtract(pa.scalar(100, type=pa.int64()), disc_e2))
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "s_nationkey": pa.array(s_nat, type=pa.int64()),
+                "rev_e4": rev_e4,
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_rev, batch_format="pyarrow")
+
+    joined = join_auto(li, ord_c, on="l_orderkey", right_on="o_orderkey")
+
+    def local_agg(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["s_nationkey"], batch["c_nationkey"]))
+        t = pa.table({"n_nationkey": b["s_nationkey"], "rev_e4": b["rev_e4"]})
+        g = pa.TableGroupBy(t, "n_nationkey").aggregate([("rev_e4", "sum")])
+        return g.rename_columns(["n_nationkey", "rev_part"])
+
+    agg = (
+        joined.map_batches(local_agg, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("rev_part", alias_name="revenue_e4"))
+        .to_pandas()
+    )
+    agg["n_name"] = agg["n_nationkey"].map(nation_name)
+    agg["revenue_e4"] = agg["revenue_e4"].astype(np.int64)
+    agg = agg.sort_values(["revenue_e4", "n_name"], ascending=[False, True]).reset_index(
+        drop=True
+    )
+    return pa.Table.from_pandas(agg[["n_name", "revenue_e4"]], preserve_index=False)
+
+
+def q_regex_extract(sf_dir: str) -> pa.Table:
+    """Vectorized regex extraction: first ≥5-letter word per document via
+    ``pyarrow.compute.extract_regex`` (RE2 — the same engine DuckDB uses,
+    so first-match semantics align bit-for-bit), then a top-10 frequency
+    table.  100-TB shape: the extraction is one Arrow kernel pass, the
+    per-batch partial count collapses each batch to its distinct words
+    before the (tiny) exchange — no token stream ever shuffles."""
+    from ray.data.aggregate import Sum
+
+    PAT = r"(?P<w>[a-z]{5,})"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["text"], PAT)
+        w = pc.struct_field(m, "w")
+        t = pa.table({"word": w.filter(pc.is_valid(w))})
+        g = pa.TableGroupBy(t, "word").aggregate([([], "count_all")])
+        return g.rename_columns(["word", "n_part"])
+
+    out = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values(["n_docs", "word"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return pa.Table.from_pandas(out[["word", "n_docs"]], preserve_index=False)
+
+
+def q_normalized_dedup(sf_dir: str) -> pa.Table:
+    """Canonical-form exact dedup: lowercase, collapse every non-alnum run
+    to one space, trim — then COUNT(DISTINCT canonical_text).  The
+    canonicalization is three Arrow RE2/string kernels (no Python rows);
+    the distinct count shuffles 64-bit SipHash fingerprints, never text
+    (stages/shuffle.exact_distinct_count hash exchange)."""
+    import pandas as pd
+
+    from json_schema_ray.stages.shuffle import exact_distinct_count
+
+    def canon_fp(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, r"[^a-z0-9]+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        s = t.to_pandas()
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy()
+        h[s.isna().to_numpy()] = 0
+        return pa.table({"fingerprint": pa.array(h.astype(np.uint64))})
+
+    ds = _read(sf_dir, "documents", ["text"])
+    n_docs = ds.count()
+    n_unique = exact_distinct_count(
+        ds.map_batches(canon_fp, batch_format="pyarrow"), "fingerprint"
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], type=pa.int64()),
+            "n_unique": pa.array([n_unique], type=pa.int64()),
+            "n_dup_docs": pa.array([n_docs - n_unique], type=pa.int64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -2672,6 +2856,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": q_sequence_pack,
         "group_distinct": q_group_distinct,
         "line_dedup": q_line_dedup,
+        "regional_revenue": q_regional_revenue,
+        "regex_extract": q_regex_extract,
+        "normalized_dedup": q_normalized_dedup,
         "curation_funnel": q_curation_funnel,
     }
 
@@ -3048,6 +3235,40 @@ def oracle_sql() -> dict[str, str]:
         "histogram": """
             SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket, count(*) AS n
             FROM orders GROUP BY bucket ORDER BY bucket
+        """,
+        "regional_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND c_nationkey = s_nationkey
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue_e4 DESC, n_name
+        """,
+        "regex_extract": """
+            SELECT word, CAST(count(*) AS BIGINT) AS n_docs
+            FROM (
+              SELECT regexp_extract(text, '([a-z]{5,})', 1) AS word
+              FROM documents
+              WHERE regexp_matches(text, '[a-z]{5,}')
+            )
+            GROUP BY word
+            ORDER BY n_docs DESC, word
+            LIMIT 10
+        """,
+        "normalized_dedup": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS BIGINT) AS n_unique,
+                   CAST(count(*) - count(DISTINCT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS BIGINT) AS n_dup_docs
+            FROM documents
         """,
         "quantiles_by_group": """
             SELECT source, count(*) AS n_docs,
