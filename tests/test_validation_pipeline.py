@@ -313,3 +313,26 @@ def test_flagship_exact_violations_across_configs(ray_session, tmp_path, seed, n
         assert got.get(cid, []) == exp[key], (seed, key)
     vd = report.verdicts.to_pandas()
     assert vd["n_dup_doc_ids"].iloc[0] == len(exp["dup_doc_id"])
+
+
+def test_auto_blocks_byte_clamp(tmp_path, monkeypatch):
+    from json_schema_ray.pipelines.validation import _auto_blocks
+
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * (300 * 1024))  # ~1.2 target blocks of 256 KiB
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"x" * (600 * 1024 * 1024))  # >> 512 target blocks
+
+    # tiny input: clamped to the 2-waves-per-CPU floor, not 16/CPU
+    assert _auto_blocks([str(small)], 32) == 64
+    # large input: cap at blocks-per-CPU (the load-balance ceiling)
+    assert _auto_blocks([str(big)], 32) == 512
+    # never below the file count
+    files = [str(small)] * 100
+    assert _auto_blocks(files, 4) == 100
+    # knob still wins as the ceiling
+    monkeypatch.setenv("JSR_BLOCKS_PER_CPU", "4")
+    assert _auto_blocks([str(big)], 32) == 128
+    monkeypatch.delenv("JSR_BLOCKS_PER_CPU")
+    # unreadable path: byte clamp silently disabled, ceiling applies
+    assert _auto_blocks(["/nonexistent/zzz.parquet"], 4) == 64
