@@ -2778,6 +2778,85 @@ def q_normalized_dedup(sf_dir: str) -> pa.Table:
     )
 
 
+def q_label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label mean embedding over the ``list<float>`` column, long-form
+    ``(label, dim, centroid, n_vecs)``.  Distributed vector aggregate:
+    every batch collapses to label-cardinality × dim partial sums inside
+    ``map_batches`` (functions/similarity.label_centroids), so the only
+    exchange is a tiny (label, dim) groupby — the 100-TB shape for class
+    centroids / data-mixing statistics.  Oracled against DuckDB's zipped
+    ``unnest(embedding)`` + ``avg``; the mean is rounded to 4 digits on
+    both sides so summation order cannot show."""
+    from json_schema_ray.functions.similarity import label_centroids
+
+    return label_centroids(_read(sf_dir, "embeddings", ["embedding", "label"]))
+
+
+def q_perplexity_filter(sf_dir: str) -> pa.Table:
+    """CCNet-style bigram-LM perplexity filter: build an exact corpus
+    bigram model (combiner-collapsed counts, distributed top-N prune —
+    functions/lm.build_bigram_model), broadcast it once, score every
+    document's bits-per-bigram, and report per-source fluency + the kept
+    fraction under a 12-bit threshold.
+
+    rows_only by design: n-gram LM scoring is not SQL-expressible; the
+    scorer is asserted bit-exact against a pure-Python reference LM in
+    ``tests/test_lm.py``, and the per-source output is deterministic
+    under repartitioning (model pruning is (count desc, gram asc) and
+    outputs round to 4 digits)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from json_schema_ray.functions.lm import build_bigram_model, score_perplexity
+
+    TAU = 12.0  # bits/bigram keep threshold
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    mref = ray.put(build_bigram_model(docs, text_col="text"))
+    scored = score_perplexity(docs, mref, id_cols=("doc_id", "source"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = batch["bits"]
+        kept = pc.cast(
+            pc.fill_null(pc.less_equal(bits, pa.scalar(TAU)), False), pa.int64()
+        )
+        scored_flag = pc.cast(pc.is_valid(bits), pa.int64())
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "bits_sum": pc.fill_null(bits, 0.0),
+                "n_scored": scored_flag,
+                "n_kept": kept,
+            }
+        )
+        g = pa.TableGroupBy(t, "source").aggregate(
+            [("bits_sum", "sum"), ("n_scored", "sum"), ("n_kept", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["source", "bits_part", "scored_part", "kept_part", "docs_part"])
+
+    agg = (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("bits_part", alias_name="bits_sum"),
+            Sum("scored_part", alias_name="n_scored"),
+            Sum("kept_part", alias_name="n_kept"),
+            Sum("docs_part", alias_name="n_docs"),
+        )
+        .to_pandas()  # source-cardinality rows
+    )
+    agg["mean_bits"] = (agg["bits_sum"] / agg["n_scored"].clip(lower=1)).round(4)
+    agg["kept_frac"] = (agg["n_kept"] / agg["n_docs"].clip(lower=1)).round(4)
+    for c in ("n_docs", "n_scored", "n_kept"):
+        agg[c] = agg[c].astype(np.int64)
+    agg = agg.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        agg[["source", "n_docs", "n_scored", "n_kept", "mean_bits", "kept_frac"]],
+        preserve_index=False,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "col_stats": q_col_stats,
@@ -2859,6 +2938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": q_regional_revenue,
         "regex_extract": q_regex_extract,
         "normalized_dedup": q_normalized_dedup,
+        "label_centroids": q_label_centroids,
+        "perplexity_filter": q_perplexity_filter,
         "curation_funnel": q_curation_funnel,
     }
 
@@ -3263,6 +3344,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY n_docs DESC, word
             LIMIT 10
+        """,
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+                   round(avg(val), 4) AS centroid, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM (
+              SELECT label,
+                     unnest(embedding) AS val,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings
+            )
+            GROUP BY label, dim
+            ORDER BY label, dim
         """,
         "normalized_dedup": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

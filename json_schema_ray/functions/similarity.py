@@ -376,3 +376,71 @@ def ivf_topk(
         out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True),
         preserve_index=False,
     )
+
+
+def label_centroids(
+    ds,
+    *,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    ndigits: int = 4,
+) -> pa.Table:
+    """Per-label mean embedding, emitted long-form as
+    ``(label, dim, centroid, n_vecs)`` rows (dim is 1-based).
+
+    100-TB shape: each batch collapses to at most
+    ``n_labels_in_batch x dim`` partial-sum rows (label-cardinality-
+    sized, never data-sized) inside ``map_batches``, so the only
+    exchange is a groupby over (label, dim) — tiny for any realistic
+    label set.  Sums run in float64; the mean is rounded to ``ndigits``
+    so block-order float nondeterminism cannot reach the output (and a
+    DuckDB ``avg`` oracle hash-matches despite a different summation
+    order).  Labels are cast to int64 (Arrow dictionary/int32 inputs
+    normalize to one key type across blocks)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[emb_col])
+        labels = np.asarray(
+            batch[label_col].combine_chunks()
+            if isinstance(batch[label_col], pa.ChunkedArray)
+            else batch[label_col]
+        ).astype(np.int64)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], type=pa.int64()),
+                    "dim": pa.array([], type=pa.int64()),
+                    "s_part": pa.array([], type=pa.float64()),
+                    "n_part": pa.array([], type=pa.int64()),
+                }
+            )
+        d = m.shape[1]
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), d), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": np.repeat(uniq, d),
+                "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(uniq)),
+                "s_part": sums.ravel(),
+                "n_part": np.repeat(counts, d),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s_part", alias_name="s"), Sum("n_part", alias_name="n"))
+        .to_pandas()  # label-cardinality x dim rows — dimension-sized
+    )
+    agg["centroid"] = (agg["s"] / agg["n"]).round(ndigits)
+    agg["n_vecs"] = agg["n"].astype(np.int64)
+    agg["label"] = agg["label"].astype(np.int64)
+    agg["dim"] = agg["dim"].astype(np.int64)
+    agg = agg.sort_values(["label", "dim"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        agg[["label", "dim", "centroid", "n_vecs"]], preserve_index=False
+    )
