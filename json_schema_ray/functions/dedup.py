@@ -27,6 +27,7 @@ deterministic sample and the truncation is reported, never silent.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -281,6 +282,7 @@ def minhash_lsh_candidates(
     seed: int = 42,
     concurrency: int = 4,
     max_bucket_size: int = 2000,
+    spill_dir: str | None = None,
 ) -> pa.Table:
     """MinHash-LSH candidate pairs: (id_a, id_b, est_jaccard).
 
@@ -291,17 +293,41 @@ def minhash_lsh_candidates(
     candidate-pair set and colliding-key set touch the driver.
     Estimated Jaccard = fraction of equal signature components,
     computed from signatures fetched for the candidate set only.
+
+    The signature and banded tables are each consumed twice.  By default
+    they are ``materialize()``d — ~1 KB/doc pinned in the object store
+    (Ray spills past capacity, but pinning competes with the pipeline's
+    working set).  Pass ``spill_dir`` for the 100-TB path: both tables
+    are written once as parquet and re-read per consumer, so nothing
+    stays pinned, the re-reads stream with the usual backpressure, and a
+    crashed run can resume banding from the persisted signatures.
     """
+    import ray.data as rd
+
     rows_per_band = k // bands
     hasher_kwargs = dict(k=k, shingle_w=3, seed=seed, text_col=text_col, id_col=id_col)
-    sigs = ds.map_batches(
-        MinHasher, fn_constructor_kwargs=hasher_kwargs,
-        batch_format="pyarrow", concurrency=(1, concurrency),
-    ).materialize()  # reused twice (banding + verification); sigs are narrow
 
-    banded = sigs.map_batches(
-        lambda b: _band_rows(b, bands, rows_per_band, id_col), batch_format="pyarrow"
-    ).materialize()  # reused: count prefilter + collision filter
+    def _reusable(stream, name: str):
+        if spill_dir is None:
+            return stream.materialize()
+        path = os.path.join(spill_dir, name)
+        stream.write_parquet(path)
+        return rd.read_parquet(path)
+
+    sigs = _reusable(
+        ds.map_batches(
+            MinHasher, fn_constructor_kwargs=hasher_kwargs,
+            batch_format="pyarrow", concurrency=(1, concurrency),
+        ),
+        "sigs",
+    )
+
+    banded = _reusable(
+        sigs.map_batches(
+            lambda b: _band_rows(b, bands, rows_per_band, id_col), batch_format="pyarrow"
+        ),
+        "banded",
+    )
 
     collide = _colliding_rows(banded)
     empty = pa.table(

@@ -410,9 +410,13 @@ def run_curation(
     else:
         _fresh(drops_dir)
         deduped = read_auto(deduped_dir, columns=[id_col, text_col])
+        # spill sig/banded tables under the run dir instead of pinning
+        # them in the object store (minhash_lsh_candidates docstring);
+        # _fresh(drops_dir) above already cleared any prior attempt's
         pairs = minhash_lsh_candidates(
             deduped, text_col=text_col, id_col=id_col,
             k=minhash_k, concurrency=concurrency,
+            spill_dir=os.path.join(drops_dir, "_lsh_spill"),
         )
         pairs = pairs.filter(pc.greater_equal(pairs["est_jaccard"], near_dup_threshold))
         near_ids: list = []

@@ -116,6 +116,26 @@ def test_minhash_lsh(neardup_ds):
     assert d[(1, 2)] > 0.6
 
 
+def test_minhash_lsh_spill_dir_matches_pinned(neardup_ds, tmp_path):
+    """The 100-TB spill path (sig/banded tables persisted as parquet and
+    re-read per consumer, nothing pinned in the object store) must
+    produce the identical candidate set as the default materialize
+    path — and must actually write both tables."""
+    import os
+
+    from json_schema_ray.functions.dedup import minhash_lsh_candidates
+
+    pinned = minhash_lsh_candidates(neardup_ds, concurrency=2).to_pandas()
+    spilled = minhash_lsh_candidates(
+        neardup_ds, concurrency=2, spill_dir=str(tmp_path)
+    ).to_pandas()
+    key = lambda df: df.sort_values(["id_a", "id_b"]).reset_index(drop=True)  # noqa: E731
+    pd.testing.assert_frame_equal(key(pinned), key(spilled))
+    for sub in ("sigs", "banded"):
+        files = os.listdir(tmp_path / sub)
+        assert any(f.endswith(".parquet") for f in files)
+
+
 def test_simhash(neardup_ds):
     from json_schema_ray.functions.dedup import simhash_candidates
 
