@@ -63,6 +63,9 @@ from ..functions.dedup import (
 # (iterative min-label propagation, functions/dedup.py); below it the
 # union-find fast path wins on latency
 DISTRIBUTED_PAIRS_THRESHOLD = 2_000_000
+# above this doc count the LSH sig/banded tables spill to parquet under
+# the run dir rather than staying pinned in the object store (~1 KB/doc)
+LSH_SPILL_THRESHOLD = 1_000_000
 
 # above this many distinct benchmark n-grams, decontamination switches to
 # the Bloom-filter path (constant 1 MiB broadcast, zero false negatives,
@@ -410,13 +413,20 @@ def run_curation(
     else:
         _fresh(drops_dir)
         deduped = read_auto(deduped_dir, columns=[id_col, text_col])
-        # spill sig/banded tables under the run dir instead of pinning
-        # them in the object store (minhash_lsh_candidates docstring);
-        # _fresh(drops_dir) above already cleared any prior attempt's
+        # large corpora spill the sig/banded tables under the run dir
+        # instead of pinning ~1 KB/doc in the object store
+        # (minhash_lsh_candidates docstring); small runs keep the pinned
+        # path — the extra parquet write+read is pure fixed cost there.
+        # _fresh(drops_dir) above already cleared any prior attempt's.
+        spill = (
+            os.path.join(drops_dir, "_lsh_spill")
+            if rep.n_exact_deduped > LSH_SPILL_THRESHOLD
+            else None
+        )
         pairs = minhash_lsh_candidates(
             deduped, text_col=text_col, id_col=id_col,
             k=minhash_k, concurrency=concurrency,
-            spill_dir=os.path.join(drops_dir, "_lsh_spill"),
+            spill_dir=spill,
         )
         pairs = pairs.filter(pc.greater_equal(pairs["est_jaccard"], near_dup_threshold))
         near_ids: list = []

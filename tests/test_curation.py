@@ -128,6 +128,25 @@ def test_report_table_invariants(report):
     assert t["n_final"][0].as_py() == report.n_final
 
 
+def test_funnel_lsh_spill_path(corpus, ray_session, tmp_path, monkeypatch):
+    """Forcing the LSH spill threshold to 0 routes the funnel through the
+    parquet-spill candidate path; the funnel result is unchanged and the
+    spill artifacts land under the drops stage dir."""
+    import json_schema_ray.pipelines.curation as cur
+
+    docs, bench, _ = corpus
+    monkeypatch.setattr(cur, "LSH_SPILL_THRESHOLD", 0)
+    out = str(tmp_path / "out_spill")
+    rep = run_curation(
+        docs, out, benchmark_texts=bench, pack_capacity=256, min_quality=0.3
+    )
+    assert rep.n_near_dup_dropped == 1
+    assert rep.n_final == 33
+    spill = os.path.join(out, "drops", "_lsh_spill")
+    assert os.path.isdir(os.path.join(spill, "sigs"))
+    assert os.path.isdir(os.path.join(spill, "banded"))
+
+
 def test_signal_filter_empty_batch(ray_session):
     sf = SignalFilter(stats_dir=None)
     empty = pa.table(
