@@ -269,6 +269,11 @@ def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
         em.q_regional_revenue(sf_dir)
         queries["regional_revenue"] = round(time.time() - t, 3)
 
+        # two-pass LM pipeline: corpus bigram model build + broadcast scoring
+        t = time.time()
+        em.q_perplexity_filter(sf_dir)
+        queries["perplexity_filter"] = round(time.time() - t, 3)
+
         result = {
             "metric": "validation_pipeline_wall_time",
             "value": round(headline, 3),

@@ -1,0 +1,187 @@
+"""Extended differential fuzz session — off-CI scale re-certification.
+
+Reuses the derandomized generators from tests/test_differential_jsonschema.py
+(same divergence-zone avoidance by construction) but at a caller-chosen
+seed range DISJOINT from CI's 0..N_SCHEMAS, so each session adds fresh
+evidence instead of re-running the suite.  Compares every verdict of
+``kernels.dynamic.DynamicCompiler`` against ``jsonschema`` (which passes
+the official suite) across all three dialects.
+
+    python tools/fuzz_differential.py --n 10000 --seed-base 300000
+
+Prints one JSON line: schemas tried / skipped-invalid / verdicts
+compared / mismatches (exit 1 if any mismatch).  Pure driver-side — no
+Ray session needed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+
+def _run_vector(args) -> int:
+    """--vector: extended session for the VECTOR path — compile_vector row
+    masks vs per-element jsonschema verdicts (generators from
+    tests/test_differential_vector.py), fresh seeds per session."""
+    import json as _json
+    import random as _random
+    import time as _time
+
+    import pyarrow as pa
+    from test_differential_vector import CONFIGS, V, _jsonify
+
+    from json_schema_ray.kernels.vector import UnsupportedVector, compile_vector
+
+    t0 = _time.time()
+    verdicts = fallbacks = 0
+    mismatches: list[str] = []
+    for di, (name, dtype, gen, vals) in enumerate(CONFIGS):
+        rng = _random.Random(args.seed_base * 31 + di)
+        for s in range(args.n):
+            sch = _json.loads(_json.dumps(gen(rng)))
+            values = vals(rng, 12)
+            arr = pa.array(values, type=dtype)
+            try:
+                kern = compile_vector(sch, dtype, formats_assert=False)
+            except UnsupportedVector:
+                fallbacks += 1
+                continue
+            got = kern(arr)
+            ref = V(sch)
+            for i in range(len(arr)):
+                jv = _jsonify(arr[i].as_py(), dtype)
+                verdicts += 1
+                if bool(got[i]) != ref.is_valid(jv):
+                    mismatches.append(
+                        f"{name} seed#{s} schema={_json.dumps(sch)} value={jv!r}"
+                    )
+    print(json.dumps({
+        "mode": "vector",
+        "schemas_per_dtype": args.n,
+        "declared_fallbacks": fallbacks,
+        "verdicts": verdicts,
+        "mismatches": len(mismatches),
+        "seed_base": args.seed_base,
+        "sec": round(_time.time() - t0, 1),
+    }))
+    for m in mismatches[:10]:
+        print(m, file=sys.stderr)
+    return 1 if mismatches else 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10000, help="schemas per dialect")
+    ap.add_argument("--seed-base", type=int, default=300000,
+                    help="first seed; keep ranges disjoint across sessions")
+    ap.add_argument("--vector", action="store_true",
+                    help="fuzz the vector path (compile_vector vs jsonschema) "
+                    "instead of the dynamic compiler")
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+    if args.vector:
+        return _run_vector(args)
+
+    import jsonschema
+    from test_differential_jsonschema import DRAFTS, SCHEMA_URI, _instances, _schema
+
+    from json_schema_ray.kernels.dynamic import DynamicCompiler
+
+    def _to_2020(s):
+        """Faithful 2019-09 → 2020-12 keyword translation so the modern
+        validator can second-opinion a 2019-09 schema: positional
+        ``items`` becomes ``prefixItems``; its ``additionalItems``
+        becomes ``items``.  Everything else (incl. unevaluated*) means
+        the same in both drafts.  The fuzz generator emits no $refs, so
+        $recursive*→$dynamic* never arises here."""
+        if isinstance(s, list):
+            return [_to_2020(v) for v in s]
+        if not isinstance(s, dict):
+            return s
+        out = {}
+        for k, v in s.items():
+            if k == "items" and isinstance(v, list):
+                out["prefixItems"] = [_to_2020(x) for x in v]
+            elif k == "additionalItems" and isinstance(s.get("items"), list):
+                out["items"] = _to_2020(v)
+            elif k == "additionalItems":
+                pass  # no positional items: 2019-09 ignores it too
+            else:
+                out[k] = _to_2020(v)
+        return out
+
+    def _known_ref_approx(dialect, sch_json, inst, ours) -> bool:
+        """jsonschema's LEGACY (2019-09) unevaluated* uses a static
+        property-key approximation (see
+        tests/test_unevaluated_vs_ref_approx.py); when its modern
+        annotation-correct 2020-12 path — same unevaluated* semantics,
+        schema translated keyword-for-keyword — agrees with this engine,
+        the disagreement is the reference library's documented
+        limitation, not ours."""
+        if dialect != "2019-09" or "unevaluated" not in json.dumps(sch_json):
+            return False
+        try:
+            modern = jsonschema.Draft202012Validator(_to_2020(sch_json)).is_valid(inst)
+        except Exception:  # noqa: BLE001
+            return False
+        return modern == ours
+
+    t0 = time.time()
+    tried = skipped = verdicts = ref_approx = 0
+    mismatches: list[str] = []
+    for dialect, Validator in DRAFTS.items():
+        doff = {"draft7": 7, "2019-09": 2019, "2020-12": 2020}[dialect]
+        for i in range(args.n):
+            seed = args.seed_base + i
+            rng = random.Random(doff * 100_000 + seed)
+            sch = _schema(rng, dialect)
+            sch_json = json.loads(json.dumps(sch))
+            tried += 1
+            try:
+                Validator.check_schema(sch_json)
+            except jsonschema.SchemaError:
+                skipped += 1
+                continue
+            ref_v = Validator(sch_json)
+            compiled = DynamicCompiler(dialect=dialect).compile(
+                {**sch_json, "$schema": SCHEMA_URI[dialect]}
+                if isinstance(sch_json, dict)
+                else sch_json
+            )
+            for inst in _instances(rng, sch_json):
+                verdicts += 1
+                ours = compiled.is_valid(inst)
+                if ours != ref_v.is_valid(inst):
+                    if _known_ref_approx(dialect, sch_json, inst, ours):
+                        ref_approx += 1
+                        continue
+                    mismatches.append(
+                        f"dialect={dialect} seed={seed} schema={json.dumps(sch_json)} "
+                        f"instance={json.dumps(inst)}"
+                    )
+    print(json.dumps({
+        "schemas_tried": tried,
+        "invalid_skipped": skipped,
+        "verdicts": verdicts,
+        "mismatches": len(mismatches),
+        "ref_approx_2019_unevaluated": ref_approx,
+        "seed_base": args.seed_base,
+        "n_per_dialect": args.n,
+        "sec": round(time.time() - t0, 1),
+    }))
+    for m in mismatches[:10]:
+        print(m, file=sys.stderr)
+    return 1 if mismatches else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
