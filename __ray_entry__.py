@@ -2804,7 +2804,6 @@ def q_perplexity_filter(sf_dir: str) -> pa.Table:
     ``tests/test_lm.py``, and the per-source output is deterministic
     under repartitioning (model pruning is (count desc, gram asc) and
     outputs round to 4 digits)."""
-    import pandas as pd
     import ray
     from ray.data.aggregate import Sum
 
@@ -2846,7 +2845,8 @@ def q_perplexity_filter(sf_dir: str) -> pa.Table:
         )
         .to_pandas()  # source-cardinality rows
     )
-    agg["mean_bits"] = (agg["bits_sum"] / agg["n_scored"].clip(lower=1)).round(4)
+    # NaN (not 0.0 = "maximally fluent") when a source has no scorable doc
+    agg["mean_bits"] = (agg["bits_sum"] / agg["n_scored"].where(agg["n_scored"] > 0)).round(4)
     agg["kept_frac"] = (agg["n_kept"] / agg["n_docs"].clip(lower=1)).round(4)
     for c in ("n_docs", "n_scored", "n_kept"):
         agg[c] = agg[c].astype(np.int64)

@@ -299,9 +299,14 @@ def minhash_lsh_candidates(
     (Ray spills past capacity, but pinning competes with the pipeline's
     working set).  Pass ``spill_dir`` for the 100-TB path: both tables
     are written once as parquet and re-read per consumer, so nothing
-    stays pinned, the re-reads stream with the usual backpressure, and a
-    crashed run can resume banding from the persisted signatures.
+    stays pinned and the re-reads stream with the usual backpressure.
+    Each table dir is CLEARED before its write (Ray's write_parquet
+    appends by default): a retried or reused spill_dir starts clean
+    instead of doubling every band row — duplicated bands would push
+    every bucket past the count>=2 collision prefilter.
     """
+    import shutil
+
     import ray.data as rd
 
     rows_per_band = k // bands
@@ -311,6 +316,7 @@ def minhash_lsh_candidates(
         if spill_dir is None:
             return stream.materialize()
         path = os.path.join(spill_dir, name)
+        shutil.rmtree(path, ignore_errors=True)
         stream.write_parquet(path)
         return rd.read_parquet(path)
 

@@ -66,11 +66,12 @@ def _bigrams(tokens: pa.Array, row_idx: np.ndarray):
     if n < 2:
         empty = pa.array([], type=pa.string())
         return empty, empty, empty, np.array([], dtype=np.int64)
-    same = pa.array(row_idx[:-1] == row_idx[1:])
+    mask = row_idx[:-1] == row_idx[1:]
+    same = pa.array(mask)
     w1 = tokens.slice(0, n - 1).filter(same)
     w2 = tokens.slice(1, n - 1).filter(same)
     gram = pc.binary_join_element_wise(w1, w2, " ")
-    return w1, w2, gram, row_idx[:-1][row_idx[:-1] == row_idx[1:]]
+    return w1, w2, gram, row_idx[:-1][mask]
 
 
 def build_bigram_model(
@@ -117,6 +118,10 @@ def build_bigram_model(
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby(["kind", "gram"])
         .aggregate(Sum("n_part", alias_name="n"))
+        # consumed twice (one top-N per kind): materialize the AGGREGATED
+        # table — vocabulary-sized, the same table each sort must hold
+        # anyway — so the corpus tokenization pass runs once, not twice
+        .materialize()
     )
 
     def _top(kind: int, cap: int):
@@ -174,12 +179,19 @@ def score_perplexity(
         key = model_ref.hex() if hasattr(model_ref, "hex") else id(model_ref)
         m = _WORKER_MODELS.get(key)
         if m is None:
+            if len(_WORKER_MODELS) >= 4:  # bound worker-lifetime growth
+                _WORKER_MODELS.clear()
             m = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
             _WORKER_MODELS[key] = m
         tok, row_idx = _token_stream(batch, text_col)
         w1, _, gram, bi_rows = _bigrams(tok, row_idx)
         c_bi = _lookup(gram, m["bi"], m["bi_n"]).astype(np.float64)
         c_uni = _lookup(w1, m["uni"], m["uni_n"]).astype(np.float64)
+        # pruning can keep a bigram whose left unigram fell out of the
+        # vocab top-N; c(w1) >= c(w1 w2) always holds in the unpruned
+        # counts, so restore that invariant — otherwise p > 1 and the
+        # document scores NEGATIVE bits (hyper-fluent junk)
+        c_uni = np.maximum(c_uni, c_bi)
         a, V = m["alpha"], m["V"]
         bits = -np.log2((c_bi + a) / (c_uni + a * max(V, 1)))
         n = batch.num_rows

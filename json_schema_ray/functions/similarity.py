@@ -396,17 +396,25 @@ def label_centroids(
     so block-order float nondeterminism cannot reach the output (and a
     DuckDB ``avg`` oracle hash-matches despite a different summation
     order).  Labels are cast to int64 (Arrow dictionary/int32 inputs
-    normalize to one key type across blocks)."""
-    import pandas as pd
+    normalize to one key type across blocks); null labels raise — the
+    int cast would silently fold NaN into INT64_MIN and invent a garbage
+    centroid group (SQL oracles group NULL separately, so no silent
+    convention matches both; filter or fill upstream)."""
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         m = _to_matrix(batch[emb_col])
-        labels = np.asarray(
+        lab_arr = (
             batch[label_col].combine_chunks()
             if isinstance(batch[label_col], pa.ChunkedArray)
             else batch[label_col]
-        ).astype(np.int64)
+        )
+        if lab_arr.null_count:
+            raise ValueError(
+                f"label_centroids: column {label_col!r} has "
+                f"{lab_arr.null_count} null labels; filter or fill them upstream"
+            )
+        labels = np.asarray(lab_arr).astype(np.int64)
         if m.size == 0:
             return pa.table(
                 {

@@ -144,6 +144,43 @@ def test_unseen_grams_score_as_alpha_mass(ray_session):
     assert out.loc[0, "bits"] == pytest.approx(math.log2(m["V"]))
 
 
+def test_pruned_left_unigram_never_scores_negative_bits(ray_session):
+    """Pruning can retain a bigram whose left word fell out of the vocab
+    top-N; without the c_uni >= c_bi clamp that gives p > 1 and NEGATIVE
+    bits (junk scored as hyper-fluent)."""
+    import ray
+    import ray.data as rd
+
+    from json_schema_ray.functions.lm import build_bigram_model, score_perplexity
+
+    # "zz qq" dominates bigrams, but max_vocab=2 keeps only the two most
+    # frequent unigrams — construct so "zz" is pruned while "zz qq" stays
+    train = rd.from_arrow(
+        pa.table({"doc_id": [0], "text": ["aa bb. aa bb. aa bb. zz qq. zz qq."]})
+    )
+    m = build_bigram_model(train, text_col="text", max_vocab=2, max_bigrams=10)
+    assert "zz" not in m["uni"].to_pylist()
+    assert "zz qq" in m["bi"].to_pylist()
+    test = rd.from_arrow(pa.table({"doc_id": [0], "text": ["zz qq zz qq zz qq"]}))
+    out = score_perplexity(test, ray.put(m)).to_pandas()
+    assert out.loc[0, "bits"] >= 0
+
+
+def test_label_centroids_null_labels_raise(ray_session):
+    import ray.data as rd
+
+    from json_schema_ray.functions.similarity import label_centroids
+
+    t = pa.table(
+        {
+            "embedding": pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float32())),
+            "label": pa.array([1, None], type=pa.int32()),
+        }
+    )
+    with pytest.raises(Exception, match="null labels"):
+        label_centroids(rd.from_arrow(t))
+
+
 def test_label_centroids_vs_numpy(ray_session):
     import ray.data as rd
 

@@ -109,7 +109,9 @@ def main() -> int:
             return s
         out = {}
         for k, v in s.items():
-            if k == "items" and isinstance(v, list):
+            if k in ("enum", "const"):
+                out[k] = v  # instance VALUES, never schemas — don't rewrite
+            elif k == "items" and isinstance(v, list):
                 out["prefixItems"] = [_to_2020(x) for x in v]
             elif k == "additionalItems" and isinstance(s.get("items"), list):
                 out["items"] = _to_2020(v)
