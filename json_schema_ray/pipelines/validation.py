@@ -123,7 +123,7 @@ def _noop_restore() -> None:
 
 def _task_validator(
     catalog_ref, viol_dir: str | None = None, extended: bool = False,
-    fault_marker: str | None = None,
+    fault_marker: str | None = None, emit_uniq: bool = False,
 ):
     """Stateless-task flavor of the SpanValidator stage: same kernels, but
     scheduled as plain tasks over the (already warm) worker pool instead
@@ -142,7 +142,10 @@ def _task_validator(
                 os._exit(1)
             except FileExistsError:
                 pass
-        key = (catalog_ref.hex() if catalog_ref is not None else None, viol_dir, extended)
+        key = (
+            catalog_ref.hex() if catalog_ref is not None else None,
+            viol_dir, extended, emit_uniq,
+        )
         sv = _WORKER_VALIDATORS.get(key)
         if sv is None:
             if len(_WORKER_VALIDATORS) >= 4:
@@ -150,7 +153,8 @@ def _task_validator(
                 # pins a catalog array — bound the cache instead of leaking
                 _WORKER_VALIDATORS.clear()
             sv = SpanValidator(
-                catalog_ref=catalog_ref, viol_dir=viol_dir, extended_checks=extended
+                catalog_ref=catalog_ref, viol_dir=viol_dir,
+                extended_checks=extended, emit_uniq=emit_uniq,
             )
             _WORKER_VALIDATORS[key] = sv
         return sv(batch)
@@ -310,15 +314,40 @@ def run_validation(
 
         ds = ds.map_batches(tag_partition, batch_format="pyarrow")
 
-    # uniqueness runs CONCURRENTLY with the wide scan (independent narrow
-    # read, column-pruned to doc_id): the streaming executor interleaves
-    # both dataset executions, so the shuffle's latency hides behind the
-    # read-bound scan instead of serializing after it.
+    # direct-write mode (default with an out_dir): each scan task writes its
+    # violation rows itself into the hive layout (side output, idempotent
+    # content-named files) — ONE pass over the input, tiny result stream,
+    # driver memory independent of violation count.  The hash-referential
+    # strategy keeps the stream mode because its dangling rows join the
+    # violation stream after the scan.
+    direct_write = viol_root is not None and referential_strategy == "broadcast"
+    viol_dir = viol_root if direct_write else None
+
+    # FOLDED uniqueness (the default full-run path): the scan itself emits
+    # per-batch value_counts(doc_id) partials ('uniq' rows), and one raw-task
+    # pass over the scan's OUTPUT blocks routes them to hash-bucket reducers
+    # (stages/shuffle.find_duplicate_keys_folded).  Kills the second parquet
+    # read and its whole dataset execution — on a resume that skips
+    # partitions the fold is invalid (uniqueness is a cross-partition
+    # property and must also cover files the scan won't re-read), so the
+    # concurrent narrow-read path below remains for that case.
+    fold_uniq = (
+        check_unique
+        and direct_write
+        and not lance_input
+        and set(todo) == set(parts)
+        and os.environ.get("JSR_FOLD_UNIQ", "1") != "0"  # A/B kill-switch
+    )
+
+    # non-fold path: uniqueness runs CONCURRENTLY with the wide scan
+    # (independent narrow read, column-pruned to doc_id): the streaming
+    # executor interleaves both dataset executions, so the shuffle's latency
+    # hides behind the read-bound scan instead of serializing after it.
     # It scans ALL partitions' files (not just the pending ones): uniqueness
     # is a cross-partition dataset property, and a resume that read only the
     # pending files would miss duplicates spanning completed partitions.
     uniq_future = None
-    if check_unique:
+    if check_unique and not fold_uniq:
         from concurrent.futures import ThreadPoolExecutor
 
         _uniq_pool = ThreadPoolExecutor(max_workers=1)
@@ -334,15 +363,6 @@ def run_validation(
         uniq_start = time.time()
         uniq_future = _uniq_pool.submit(_run_uniqueness)
 
-    # direct-write mode (default with an out_dir): each scan task writes its
-    # violation rows itself into the hive layout (side output, idempotent
-    # content-named files) — ONE pass over the input, tiny result stream,
-    # driver memory independent of violation count.  The hash-referential
-    # strategy keeps the stream mode because its dangling rows join the
-    # violation stream after the scan.
-    direct_write = viol_root is not None and referential_strategy == "broadcast"
-    viol_dir = viol_root if direct_write else None
-
     if use_actors:
         # actor pool: catalog loaded once per actor in __init__
         results_ds = ds.map_batches(
@@ -351,6 +371,7 @@ def run_validation(
                 "catalog_ref": catalog_ref,
                 "viol_dir": viol_dir,
                 "extended_checks": extended_checks,
+                "emit_uniq": fold_uniq,
             },
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -363,7 +384,8 @@ def run_validation(
         # processes (no per-actor cold start); the broadcast catalog is
         # ray.get-cached per worker process (module-level cache)
         results_ds = ds.map_batches(
-            _task_validator(catalog_ref, viol_dir, extended_checks, fault_marker),
+            _task_validator(catalog_ref, viol_dir, extended_checks, fault_marker,
+                            emit_uniq=fold_uniq),
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
@@ -371,9 +393,25 @@ def run_validation(
 
     n_viol = 0
     viol_ds = None
+    dup_tbl_fold = None
     if direct_write:
-        aux = results_ds.to_pandas()  # partials + sketches only: tiny
-        timings["scan_validate"] = time.time() - t
+        if fold_uniq:
+            # single pass: the streaming scan's output blocks feed the
+            # uniqueness mappers as they are produced; aux rows come back
+            # with the same tasks — no second dataset execution at all
+            from ..stages.shuffle import find_duplicate_keys_folded
+
+            uniq_start = time.time()
+            dup_tbl_fold, aux_tbl, scan_done = find_duplicate_keys_folded(
+                results_ds, key="doc_id", cnt_col="n_docs"
+            )
+            timings["scan_validate"] = scan_done - t
+            timings["uniqueness_shuffle"] = time.time() - uniq_start
+            timings["uniqueness_join_wait"] = time.time() - scan_done
+            aux = aux_tbl.to_pandas() if aux_tbl is not None else pd.DataFrame()
+        else:
+            aux = results_ds.to_pandas()  # partials + sketches only: tiny
+            timings["scan_validate"] = time.time() - t
         if aux.empty and "record_type" not in aux.columns:  # zero-row input
             aux = pd.DataFrame(
                 columns=["record_type", "partition_id", "constraint_id", "n_docs",
@@ -525,7 +563,9 @@ def run_validation(
 
     # ---------------- stage 2: uniqueness shuffle (join) ----------------
     dup_tbl = None
-    if uniq_future is not None:
+    if fold_uniq:
+        dup_tbl = dup_tbl_fold  # already reduced alongside the scan
+    elif uniq_future is not None:
         t = time.time()
         dup_tbl = uniq_future.result()
         _uniq_pool.shutdown(wait=False)

@@ -128,6 +128,31 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
     )
 
 
+def _uniq_table(doc_id) -> pa.Table:
+    """Per-batch pre-counted uniqueness partials, vectorized: one
+    ``record_type='uniq'`` row per distinct doc_id in the batch with its
+    within-batch count in ``n_docs`` (nulls count as a value, matching
+    stages/shuffle's ``value_counts`` mapper).  Emitted in-scan so the
+    uniqueness check needs NO second read of the input — the folded
+    map-reduce (stages/shuffle.find_duplicate_keys_folded) consumes these
+    rows straight off the scan's output blocks."""
+    vc = pc.value_counts(doc_id)
+    vals = pc.cast(vc.field("values"), pa.string())
+    cnts = pc.cast(vc.field("counts"), pa.int64())
+    k = len(vals)
+    cols = {}
+    for f in RESULT_SCHEMA:
+        if f.name == "record_type":
+            cols[f.name] = pa.array(np.full(k, "uniq"), type=pa.string())
+        elif f.name == "doc_id":
+            cols[f.name] = vals
+        elif f.name == "n_docs":
+            cols[f.name] = cnts
+        else:
+            cols[f.name] = pa.nulls(k, f.type)
+    return pa.table(cols).cast(RESULT_SCHEMA)
+
+
 class SpanValidator:
     """Callable class for ``ds.map_batches(SpanValidator, concurrency=N,
     batch_format="pyarrow")``.  Stateless w.r.t. data (pure per batch);
@@ -140,6 +165,7 @@ class SpanValidator:
         with_sketches: bool = True,
         viol_dir: str | None = None,
         extended_checks: bool | str = False,
+        emit_uniq: bool = False,
     ):
         import ray
 
@@ -168,6 +194,10 @@ class SpanValidator:
         # across simultaneous tasks), so the regex profile measures the
         # scaling of the stages the host lets scale.
         self.extended = extended_checks
+        # emit per-batch value_counts(doc_id) partials in the result stream
+        # ('uniq' rows) so the uniqueness check rides the wide scan instead
+        # of a second narrow read — see pipelines/validation fold_uniq
+        self.emit_uniq = emit_uniq
 
     # ------------------------------------------------------------------
 
@@ -504,4 +534,6 @@ class SpanValidator:
         out = _rows_to_table(rows)  # partial + sketch rows (few per batch)
         if vt is not None:
             out = pa.concat_tables([vt, out.cast(RESULT_SCHEMA)])
+        if self.emit_uniq:
+            out = pa.concat_tables([out.cast(RESULT_SCHEMA), _uniq_table(doc_id)])
         return out

@@ -44,14 +44,24 @@ def con(sf_dir):
     return c
 
 
-ORACLED = sorted(entrymod.oracle_sql().keys())
-ROWS_ONLY = sorted(set(entrymod.queries().keys()) - set(ORACLED))
+# cover the driver-facing registry AND the retired variants (the retirees
+# were consolidated out of queries() so the driver's 50-query sample covers
+# every registered entry — pytest remains their correctness gate)
+ALL_QUERIES = {**entrymod.queries(), **entrymod.retired_queries()}
+ALL_ORACLES = {**entrymod.oracle_sql(), **entrymod.retired_oracle_sql()}
+ORACLED = sorted(ALL_ORACLES.keys())
+ROWS_ONLY = sorted(set(ALL_QUERIES.keys()) - set(ORACLED))
+
+
+def test_driver_registry_capped_at_50():
+    assert len(entrymod.queries()) <= 50
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
 
 
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(ray_session, sf_dir, con, name):
-    got = _canon(_to_pandas(entrymod.queries()[name](sf_dir)))
-    exp = _canon(con.sql(entrymod.oracle_sql()[name]).df())
+    got = _canon(_to_pandas(ALL_QUERIES[name](sf_dir)))
+    exp = _canon(con.sql(ALL_ORACLES[name]).df())
     assert list(got.columns) == list(exp.columns), f"{name}: column mismatch {got.columns} vs {exp.columns}"
     assert len(got) == len(exp), f"{name}: row count {len(got)} vs {len(exp)}"
     for c in got.columns:
@@ -63,7 +73,7 @@ def test_query_matches_oracle(ray_session, sf_dir, con, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(ray_session, sf_dir, name):
-    res = _to_pandas(entrymod.queries()[name](sf_dir))
+    res = _to_pandas(ALL_QUERIES[name](sf_dir))
     assert res is not None and len(res) >= 0
 
 

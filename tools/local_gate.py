@@ -54,6 +54,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="")
+    ap.add_argument("--retired", action="store_true",
+                    help="also gate retired_queries() (pytest-only variants)")
     args = ap.parse_args()
 
     import ray
@@ -75,6 +77,9 @@ def main() -> int:
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    if args.retired:  # include the pytest-only retirees (full 80-query sweep)
+        qs = {**qs, **E.retired_queries()}
+        oracles = {**oracles, **E.retired_oracle_sql()}
     only = {s for s in args.only.split(",") if s}
     n_hash = n_rows_only = n_fail = 0
     for name, fn in qs.items():
