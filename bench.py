@@ -130,6 +130,16 @@ def _gen_chunk(root: str, per_chunk: int, seed: int, c: int, chunks: int) -> Non
     write_dataset(root, data, sidecars=(c == 0))
 
 
+def _scan_batch_size():
+    """Scan batch size; 0 = None (whole read block per batch, which lets
+    Ray Data FUSE ReadParquet with the validate map_batches into one
+    operator — no intermediate block materialization through the object
+    store; an explicit batch_size > block rows forces cross-block
+    bundling, splitting the stages)."""
+    v = int(os.environ.get("JSR_SCAN_BATCH", "8192"))
+    return v if v > 0 else None
+
+
 def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
     import ray
 
@@ -183,7 +193,7 @@ def run_bench(sf_dir: str, num_cpus: int, mult: int = 1) -> dict:
                 out_dir=out_dir,
                 resume=False,
                 concurrency=concurrency,
-                batch_size=8192,
+                batch_size=_scan_batch_size(),
                 extended_checks=extended,
             )
             dt = time.time() - t0

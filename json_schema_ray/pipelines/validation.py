@@ -299,7 +299,29 @@ def run_validation(
         ds = read_auto(docs_dir)
         hive_layout = True  # partition_id arrives as a real column
     else:
-        nblocks = _auto_blocks(all_files, n_cpus)
+        # FUSED SCAN (default when the layout has ≥2 files per CPU): one
+        # read block per file and no map-side batch_size lets Ray Data fuse
+        # ReadParquet->MapBatches(validate) into ONE task — decode +
+        # validate in-process, no intermediate materialization of the
+        # decoded corpus through the object store.  Fusion is blocked by
+        # either an additional read split factor (override_num_blocks >
+        # file count) or a batch_size (min_rows_per_bundled_input), so the
+        # fused path sets neither; block size stays bounded by the parquet
+        # row-group size × DataContext.target_max_block_size.  Measured
+        # same-phase at mult=2/regex: T32 6.0→4.5 s, T8 14.6→11.4 s (the
+        # saved pass over ~2.8 GB decoded text is the memory bandwidth this
+        # host doesn't scale).  Few-large-file layouts keep the auto-split
+        # plan: per-file tasks would leave CPUs idle, which costs more than
+        # the extra pass (the round-2 4.7× straggler measurement).
+        env = os.environ.get("JSR_FUSED_SCAN")
+        fused_scan = (env != "0") if env is not None else (
+            len(all_files) >= 2 * n_cpus
+        )
+        if fused_scan:
+            nblocks = len(all_files)
+            batch_size = None  # any batch_size would re-split the stages
+        else:
+            nblocks = _auto_blocks(all_files, n_cpus)
         ds = rd.read_parquet(all_files, override_num_blocks=nblocks)
         # hive layouts carry partition_id in the path (no schema fetch needed)
         hive_layout = all(("partition_id=" in f) for f in all_files)
