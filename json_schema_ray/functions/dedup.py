@@ -315,7 +315,12 @@ def minhash_lsh_candidates(
     def _reusable(stream, name: str):
         if spill_dir is None:
             return stream.materialize()
-        path = os.path.join(spill_dir, name)
+        # spill_dir must be RUN-PRIVATE shared storage (every node must
+        # see it; a node-local path breaks multi-node re-reads, and a
+        # shared dir with unrelated content would be partially cleared).
+        # Subdirs are namespaced under minhash_lsh/ so the clear only ever
+        # touches this operator's own spill, never same-named user data.
+        path = os.path.join(spill_dir, "minhash_lsh", name)
         shutil.rmtree(path, ignore_errors=True)
         stream.write_parquet(path)
         return rd.read_parquet(path)
@@ -671,6 +676,7 @@ def dedup_clusters_distributed(
     *,
     num_partitions: int | None = None,
     max_rounds: int = 64,
+    fault_marker: str | None = None,
 ):
     """Connected components over a candidate-pair **Dataset** via
     iterative min-label propagation with pointer jumping — the scale path
@@ -759,6 +765,28 @@ def dedup_clusters_distributed(
             return pa.schema([("src", id_type), ("dst", id_type)]).empty_table()
         return pa.table({"src": b["src"], "dst": b["src"]})
 
+    def _faulty(f):
+        """Chaos hook (tests/test_round5_fixes.py): the FIRST task to reach
+        this (atomically, across all workers) kills its worker mid-round —
+        a machine-loss simulation.  Ray re-executes the lost task from
+        lineage; every UDF here is pure and every aggregate associative, so
+        the recovered round is identical.  A DRIVER loss restarts from the
+        edges: the whole function is deterministic from ``pairs`` (labels
+        are derived state, not checkpointed — re-deriving them costs the
+        same O(log diameter) rounds and avoids a checkpoint format)."""
+        if fault_marker is None:
+            return f
+
+        def g(b: pa.Table) -> pa.Table:
+            try:
+                os.close(os.open(fault_marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                os._exit(1)
+            except FileExistsError:
+                pass
+            return f(b)
+
+        return g
+
     labels = (
         edges.union(edges.map_batches(self_loop, batch_format="pyarrow"))
         .groupby("src")
@@ -788,7 +816,9 @@ def dedup_clusters_distributed(
         # (1) every edge proposes label(src) to dst; per-node min with own
         prop = edges.join(labels, "inner", num_partitions, on=("src",))
         new = (
-            prop.map_batches(_project(LBL, src="dst", lbl="lbl"), batch_format="pyarrow")
+            prop.map_batches(
+                _faulty(_project(LBL, src="dst", lbl="lbl")), batch_format="pyarrow"
+            )
             .union(labels)
             .groupby("src")
             .aggregate(Min("lbl", alias_name="lbl"))

@@ -176,13 +176,20 @@ def score_perplexity(
     import ray
 
     def score(batch: pa.Table) -> pa.Table:
-        key = model_ref.hex() if hasattr(model_ref, "hex") else id(model_ref)
-        m = _WORKER_MODELS.get(key)
-        if m is None:
-            if len(_WORKER_MODELS) >= 4:  # bound worker-lifetime growth
-                _WORKER_MODELS.clear()
-            m = ray.get(model_ref) if isinstance(model_ref, ray.ObjectRef) else model_ref
-            _WORKER_MODELS[key] = m
+        if hasattr(model_ref, "hex"):  # ObjectRef: stable content identity
+            key = model_ref.hex()
+            m = _WORKER_MODELS.get(key)
+            if m is None:
+                if len(_WORKER_MODELS) >= 4:  # bound worker-lifetime growth
+                    _WORKER_MODELS.clear()
+                m = ray.get(model_ref)
+                _WORKER_MODELS[key] = m
+        else:
+            # plain-dict model: no caching — id() is not a content identity
+            # (a GC'd dict's id can be reused by a DIFFERENT model within
+            # the same worker and serve stale counts), and the dict is
+            # already in-process so there is nothing to amortize
+            m = model_ref
         tok, row_idx = _token_stream(batch, text_col)
         w1, _, gram, bi_rows = _bigrams(tok, row_idx)
         c_bi = _lookup(gram, m["bi"], m["bi_n"]).astype(np.float64)

@@ -414,7 +414,28 @@ def label_centroids(
                 f"label_centroids: column {label_col!r} has "
                 f"{lab_arr.null_count} null labels; filter or fill them upstream"
             )
-        labels = np.asarray(lab_arr).astype(np.int64)
+        labels = np.asarray(lab_arr)
+        if labels.dtype.kind == "f":
+            # a float label column passes the Arrow null check with NaN
+            # payloads, and astype(int64) would silently fold NaN to
+            # INT64_MIN — the garbage centroid group the null guard exists
+            # to prevent.  Accept only NaN-free integral floats.
+            if np.isnan(labels).any():
+                raise ValueError(
+                    f"label_centroids: column {label_col!r} has NaN labels; "
+                    "filter or fill them upstream"
+                )
+            if not np.array_equal(labels, np.trunc(labels)):
+                raise ValueError(
+                    f"label_centroids: column {label_col!r} has non-integer "
+                    "float labels; cast to an integer type upstream"
+                )
+        elif labels.dtype.kind not in "iu":
+            raise ValueError(
+                f"label_centroids: column {label_col!r} has non-numeric "
+                f"dtype {labels.dtype}; labels must be integers"
+            )
+        labels = labels.astype(np.int64)
         if m.size == 0:
             return pa.table(
                 {

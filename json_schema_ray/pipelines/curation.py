@@ -63,9 +63,11 @@ from ..functions.dedup import (
 # (iterative min-label propagation, functions/dedup.py); below it the
 # union-find fast path wins on latency
 DISTRIBUTED_PAIRS_THRESHOLD = 2_000_000
-# above this doc count the LSH sig/banded tables spill to parquet under
-# the run dir rather than staying pinned in the object store (~1 KB/doc)
-LSH_SPILL_THRESHOLD = 1_000_000
+# (round-5) the LSH sig/banded tables now ALWAYS spill to parquet under
+# the run dir rather than staying pinned in the object store (~1 KB/doc);
+# the former LSH_SPILL_THRESHOLD routing is gone — the spill IS the
+# default 100-TB path, and the small-run fixed cost is one local parquet
+# write+read of candidate-sized tables.
 
 # above this many distinct benchmark n-grams, decontamination switches to
 # the Bloom-filter path (constant 1 MiB broadcast, zero false negatives,
@@ -413,16 +415,14 @@ def run_curation(
     else:
         _fresh(drops_dir)
         deduped = read_auto(deduped_dir, columns=[id_col, text_col])
-        # large corpora spill the sig/banded tables under the run dir
-        # instead of pinning ~1 KB/doc in the object store
-        # (minhash_lsh_candidates docstring); small runs keep the pinned
-        # path — the extra parquet write+read is pure fixed cost there.
-        # _fresh(drops_dir) above already cleared any prior attempt's.
-        spill = (
-            os.path.join(drops_dir, "_lsh_spill")
-            if rep.n_exact_deduped > LSH_SPILL_THRESHOLD
-            else None
-        )
+        # the LSH sig/banded tables ALWAYS spill as parquet under the run
+        # dir (the 100-TB path: nothing pinned in the object store, a
+        # retried stage rewrites its own namespaced subdirs idempotently —
+        # minhash_lsh_candidates docstring).  _fresh(drops_dir) above
+        # already cleared any prior attempt's spill, and the spill is
+        # removed below once drops.parquet is marked done, so a RESUMED
+        # run never re-reads stale signatures.
+        spill = os.path.join(drops_dir, "_lsh_spill")
         pairs = minhash_lsh_candidates(
             deduped, text_col=text_col, id_col=id_col,
             k=minhash_k, concurrency=concurrency,
@@ -489,6 +489,7 @@ def run_curation(
             }
         )
         pq.write_table(drops, os.path.join(drops_dir, "drops.parquet"))
+        shutil.rmtree(spill, ignore_errors=True)  # spill consumed; keep the run dir lean
         _mark(drops_dir, {"stage": "drops"})
     why = drops["why"].to_pylist()
     rep.n_near_dup_dropped = why.count("near_dup")

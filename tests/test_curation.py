@@ -128,23 +128,20 @@ def test_report_table_invariants(report):
     assert t["n_final"][0].as_py() == report.n_final
 
 
-def test_funnel_lsh_spill_path(corpus, ray_session, tmp_path, monkeypatch):
-    """Forcing the LSH spill threshold to 0 routes the funnel through the
-    parquet-spill candidate path; the funnel result is unchanged and the
-    spill artifacts land under the drops stage dir."""
-    import json_schema_ray.pipelines.curation as cur
-
+def test_funnel_lsh_spill_path(corpus, ray_session, tmp_path):
+    """The funnel's near-dup stage is ALWAYS spill-backed (round-5: the
+    pinned path is gone); the result is unchanged and the consumed spill
+    is removed once drops.parquet is marked done.  (The spill's existence
+    DURING the stage + dirty-dir reuse are asserted in
+    tests/test_round5_fixes.py.)"""
     docs, bench, _ = corpus
-    monkeypatch.setattr(cur, "LSH_SPILL_THRESHOLD", 0)
     out = str(tmp_path / "out_spill")
     rep = run_curation(
         docs, out, benchmark_texts=bench, pack_capacity=256, min_quality=0.3
     )
     assert rep.n_near_dup_dropped == 1
     assert rep.n_final == 33
-    spill = os.path.join(out, "drops", "_lsh_spill")
-    assert os.path.isdir(os.path.join(spill, "sigs"))
-    assert os.path.isdir(os.path.join(spill, "banded"))
+    assert not os.path.isdir(os.path.join(out, "drops", "_lsh_spill"))
 
 
 def test_signal_filter_empty_batch(ray_session):

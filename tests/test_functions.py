@@ -131,8 +131,8 @@ def test_minhash_lsh_spill_dir_matches_pinned(neardup_ds, tmp_path):
     ).to_pandas()
     key = lambda df: df.sort_values(["id_a", "id_b"]).reset_index(drop=True)  # noqa: E731
     pd.testing.assert_frame_equal(key(pinned), key(spilled))
-    for sub in ("sigs", "banded"):
-        files = os.listdir(tmp_path / sub)
+    for sub in ("sigs", "banded"):  # namespaced: never touches user dirs
+        files = os.listdir(tmp_path / "minhash_lsh" / sub)
         assert any(f.endswith(".parquet") for f in files)
 
 

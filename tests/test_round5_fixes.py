@@ -1,0 +1,210 @@
+"""Round-5 judge asks (VERDICT.md r4 "Next round" #3-#6):
+
+- survivor-order unification: dedup_clusters (driver union-find) and
+  dedup_clusters_distributed (min-label propagation) pick IDENTICAL
+  survivors for integer AND string ids, including mixed-width
+  integer-ish string ids where string order != natural order;
+- chaos kill-resume for the distributed cluster resolution (a worker
+  dies mid-propagation-round; lineage recovery yields identical
+  clusters);
+- the curation funnel's near-dup stage is spill-backed by default, a
+  dirty spill dir from a killed attempt is reused safely, and a
+  kill-resume of the funnel equals an uninterrupted run;
+- cumsum_bucketed (two-phase, no one-key-fits-worker contract) equals
+  the whole-history cumsum_user plan row for row.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from json_schema_ray.functions.dedup import (
+    dedup_clusters,
+    dedup_clusters_distributed,
+    minhash_lsh_candidates,
+)
+
+WORDS = [
+    "the", "and", "of", "to", "in", "is", "that", "it", "for", "with",
+    "data", "model", "training", "pipeline", "quality", "language",
+]
+
+
+def _pairs_int():
+    # components: {2,10,30} (min 2), {7,19} (min 7), {100,3} (min 3)
+    return pa.table(
+        {
+            "id_a": pa.array([10, 30, 7, 100], type=pa.int64()),
+            "id_b": pa.array([2, 10, 19, 3], type=pa.int64()),
+        }
+    )
+
+
+def _pairs_str():
+    # mixed-width integer-ish STRING ids: natural (lexical) order ranks
+    # "10" < "2", so the old str()-keyed union and natural order agree
+    # here — but for INTS above they diverge ("10" < "2" lexically while
+    # 2 < 10 numerically), which is exactly the round-4 divergence.
+    return pa.table(
+        {
+            "id_a": pa.array(["10", "30", "7", "100"]),
+            "id_b": pa.array(["2", "10", "19", "3"]),
+        }
+    )
+
+
+@pytest.mark.parametrize("pairs_fn", [_pairs_int, _pairs_str], ids=["int", "str"])
+def test_survivors_identical_across_paths(ray_session, pairs_fn):
+    pairs = pairs_fn()
+    uf = dedup_clusters(pairs, "id").to_pandas().sort_values("id").reset_index(drop=True)
+    lp = (
+        dedup_clusters_distributed(pairs, "id", num_partitions=4)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert uf["id"].tolist() == lp["id"].tolist()
+    assert uf["cluster_id"].tolist() == lp["cluster_id"].tolist(), "cluster labels diverge"
+    assert uf["keep"].tolist() == lp["keep"].tolist(), "survivors diverge"
+    # survivors are the NATURAL minima of their components
+    ints = pairs_fn is _pairs_int
+    expected_keep = {2, 7, 3} if ints else {"10", "19", "100"}
+    assert set(uf[uf["keep"]]["id"]) == expected_keep
+
+
+def test_cluster_propagation_survives_worker_kill(ray_session, tmp_path):
+    # a 40-node path graph needs several propagate rounds — plenty of
+    # tasks for the chaos hook to land mid-round
+    n = 40
+    pairs = pa.table(
+        {
+            "id_a": pa.array(np.arange(n - 1, dtype=np.int64)),
+            "id_b": pa.array(np.arange(1, n, dtype=np.int64)),
+        }
+    )
+    marker = str(tmp_path / "boom")
+    clean = dedup_clusters_distributed(pairs, "id", num_partitions=4).to_pandas()
+    chaos = dedup_clusters_distributed(
+        pairs, "id", num_partitions=4, fault_marker=marker
+    ).to_pandas()
+    assert os.path.exists(marker), "chaos hook never fired"
+    for df in (clean, chaos):
+        df.sort_values("id", inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert clean["id"].tolist() == chaos["id"].tolist()
+    assert clean["cluster_id"].tolist() == chaos["cluster_id"].tolist()
+    assert (chaos["cluster_id"] == 0).all()  # one component, min id 0
+    assert chaos[chaos["keep"]]["id"].tolist() == [0]
+
+
+def _docs_table(n=40, seed=3):
+    rng = np.random.default_rng(seed)
+    texts = [" ".join(rng.choice(WORDS, size=50)) + f" marker {i}" for i in range(n)]
+    texts[n - 1] = texts[n - 2]  # planted near/exact dup pair
+    return pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)), "text": pa.array(texts)}
+    )
+
+
+def test_lsh_spill_dir_reuse_is_idempotent(ray_session, tmp_path):
+    """A retried stage reusing a DIRTY spill dir (prior attempt's parquet
+    already present) must produce the identical pair set — the namespaced
+    subdirs are cleared before each write."""
+    import ray.data as rd
+
+    docs = rd.from_arrow(_docs_table())
+    spill = str(tmp_path / "spill")
+
+    def run():
+        return (
+            minhash_lsh_candidates(
+                rd.from_arrow(_docs_table()), text_col="text", id_col="doc_id",
+                k=32, concurrency=2, spill_dir=spill,
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    first = run()
+    assert os.path.isdir(os.path.join(spill, "minhash_lsh", "sigs"))
+    second = run()  # dirty-dir retry
+    assert first.equals(second)
+    # unrelated same-named content OUTSIDE the namespace is untouched
+    os.makedirs(os.path.join(spill, "sigs"), exist_ok=True)
+    with open(os.path.join(spill, "sigs", "user_data.txt"), "w") as f:
+        f.write("keep me")
+    run()
+    assert open(os.path.join(spill, "sigs", "user_data.txt")).read() == "keep me"
+
+
+def test_funnel_near_dup_spill_backed_and_kill_resume(ray_session, tmp_path):
+    """The funnel's near-dup stage always runs spill-backed; an attempt
+    killed after the spill is written (driver loss mid-stage) resumes to
+    the identical curated output, and the consumed spill is cleaned up."""
+    import json_schema_ray.pipelines.curation as cur
+
+    docs = _docs_table(n=30, seed=5)
+    docs_path = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, docs_path)
+
+    out_a = str(tmp_path / "out_a")
+    rep_a = cur.run_curation(docs_path, out_a, min_quality=0.0, min_tokens=1)
+
+    # interrupted attempt: die right after candidate pairs (and the spill)
+    # are produced, before drops.parquet is marked done
+    out_b = str(tmp_path / "out_b")
+    real = cur.minhash_lsh_candidates
+    spill_seen = {}
+
+    def boom(ds, **kw):
+        res = real(ds, **kw)
+        spill_seen["dir"] = kw.get("spill_dir")
+        raise RuntimeError("simulated driver loss mid near-dup stage")
+
+    cur.minhash_lsh_candidates = boom
+    try:
+        with pytest.raises(RuntimeError):
+            cur.run_curation(docs_path, out_b, min_quality=0.0, min_tokens=1)
+    finally:
+        cur.minhash_lsh_candidates = real
+    # the stage ran spill-backed (under the run dir) and left its spill
+    assert spill_seen["dir"] and spill_seen["dir"].startswith(out_b)
+    assert os.path.isdir(os.path.join(spill_seen["dir"], "minhash_lsh", "sigs"))
+
+    # resume over the dirty run dir: identical final output
+    rep_b = cur.run_curation(docs_path, out_b, min_quality=0.0, min_tokens=1)
+    assert rep_b.n_final == rep_a.n_final
+    assert rep_b.n_near_dup_dropped == rep_a.n_near_dup_dropped
+    assert rep_b.split_counts == rep_a.split_counts
+    import ray.data as rd
+
+    ids_a = sorted(rd.read_parquet(os.path.join(out_a, "curated")).to_pandas().doc_id)
+    ids_b = sorted(rd.read_parquet(os.path.join(out_b, "curated")).to_pandas().doc_id)
+    assert ids_a == ids_b
+    # spill consumed and removed once drops is marked done
+    assert not os.path.isdir(spill_seen["dir"])
+    assert not os.path.isdir(os.path.join(out_a, "drops", "_lsh_spill"))
+
+
+def test_cumsum_bucketed_equals_whole_history_plan(ray_session, sf_dir):
+    import __ray_entry__ as E
+
+    a = (
+        E.retired_queries()["cumsum_user"](sf_dir)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        E.queries()["cumsum_bucketed"](sf_dir)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
