@@ -208,3 +208,25 @@ def test_cumsum_bucketed_equals_whole_history_plan(ray_session, sf_dir):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_content_vocabulary_fuzz_session():
+    """CI-sized content-vocabulary differential session (the extended
+    sweeps run via ``python tools/fuzz_differential.py --content``):
+    encoding/mediaType/contentSchema chains + custom codecs across all
+    behavior levels and dialects vs the stdlib+jsonschema oracle."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "fuzz_differential.py"),
+         "--content", "--n", "1500", "--seed-base", "910000"],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    import json as _json
+
+    res = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["mismatches"] == 0
+    assert res["verdicts"] > 10_000
