@@ -73,13 +73,19 @@ def prepare_bench_data(sf: float, seed: int = 42, mult: int = 1):
     from json_schema_ray.sources.interleaved import generate, write_dataset
 
     n_docs = max(1000, int(6_000_000 * sf)) * mult
-    root = f"/tmp/jsr_bench_sf{sf}_s{seed}" + (f"_m{mult}" if mult > 1 else "")
+    # scaling-corpus file granularity: with the fused scan (one task per
+    # file) 64 files at 32 CPUs is exactly 2 coarse waves — JSR_BENCH_PARTS
+    # picks a finer hive layout (realistic for multi-million-doc corpora)
+    n_parts = int(os.environ.get("JSR_BENCH_PARTS", "64"))
+    root = f"/tmp/jsr_bench_sf{sf}_s{seed}" + (f"_m{mult}" if mult > 1 else "") + (
+        f"_p{n_parts}" if n_parts != 64 else ""
+    )
     marker = os.path.join(root, "_COMPLETE")
     if not os.path.exists(marker):
         shutil.rmtree(root, ignore_errors=True)
         chunks = max(1, mult)
         if chunks == 1:
-            data = generate(n_docs=n_docs, seed=seed, n_parts=64, skew=0.5,
+            data = generate(n_docs=n_docs, seed=seed, n_parts=n_parts, skew=0.5,
                             words_per_span=(40, 80))
             write_dataset(root, data)
         else:
@@ -95,7 +101,8 @@ def prepare_bench_data(sf: float, seed: int = 42, mult: int = 1):
             # memory-bandwidth-heavy (millions of Python strings) and
             # oversubscribing it thrashes (measured ~10× slowdown at 32-way)
             gen = ray.remote(num_cpus=4)(_gen_chunk)
-            ray.get([gen.remote(root, per_chunk, seed, c, chunks) for c in range(chunks)])
+            ray.get([gen.remote(root, per_chunk, seed, c, chunks, n_parts)
+                     for c in range(chunks)])
             if owns:
                 ray.shutdown()
         with open(marker, "w") as f:
@@ -103,13 +110,13 @@ def prepare_bench_data(sf: float, seed: int = 42, mult: int = 1):
     return root, n_docs
 
 
-def _gen_chunk(root: str, per_chunk: int, seed: int, c: int, chunks: int) -> None:
+def _gen_chunk(root: str, per_chunk: int, seed: int, c: int, chunks: int,
+               n_parts_total: int = 64) -> None:
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from json_schema_ray.sources.interleaved import generate, write_dataset
 
-    n_parts_total = 64
     parts_per_chunk = max(1, n_parts_total // chunks)
     data = generate(
         n_docs=per_chunk, seed=seed + c, n_parts=parts_per_chunk,

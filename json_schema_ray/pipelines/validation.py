@@ -425,7 +425,8 @@ def run_validation(
 
             uniq_start = time.time()
             dup_tbl_fold, aux_tbl, scan_done = find_duplicate_keys_folded(
-                results_ds, key="doc_id", cnt_col="n_docs"
+                results_ds, key="doc_id", cnt_col="n_docs",
+                group_size=1 if fused_scan else 8,
             )
             timings["scan_validate"] = scan_done - t
             timings["uniqueness_shuffle"] = time.time() - uniq_start

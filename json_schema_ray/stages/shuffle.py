@@ -127,6 +127,7 @@ def find_duplicate_keys_folded(
     key: str = "doc_id",
     cnt_col: str = "n_docs",
     n_buckets: int = 64,
+    group_size: int = 8,
 ):
     """Uniqueness check FOLDED into the wide scan (zero extra dataset
     executions): consumes a scan-result Dataset whose blocks mix tiny aux
@@ -193,13 +194,14 @@ def find_duplicate_keys_folded(
     mapper_n = mapper.options(num_returns=n_buckets + 1)
     map_refs = []
     # iterating the ref bundles IS the scan execution (streaming, with
-    # backpressure).  Blocks are GROUPED per mapper (scan blocks are tiny —
-    # a few aux rows + one uniq row per doc per batch): one mapper per
-    # block at a 512-block auto-split costs 512 × (n_buckets+1) returned
-    # ObjectRefs, and the driver-side ref bookkeeping alone added a 0.3-1.5 s
-    # post-scan tail at 32 CPUs (measured).  Groups of 8 cut that ~8× while
-    # mappers still launch as the stream produces, overlapping the scan.
-    group_size = 8
+    # backpressure).  ``group_size`` blocks feed one mapper: at a 512-block
+    # auto-split, per-block mappers cost 512 × (n_buckets+1) returned
+    # ObjectRefs and the driver-side ref bookkeeping alone added a
+    # 0.3-1.5 s post-scan tail at 32 CPUs (measured) — groups of 8 cut
+    # that ~8×.  Under the FUSED scan the blocks are few and large (one
+    # per file), so the caller passes group_size=1: a group of 8 would
+    # make the LAST mapper chew ~8 blocks' uniq rows after the scan ends
+    # (measured 0.58 s of pure tail at 32 CPUs).
     pending: list = []
 
     def _flush():
