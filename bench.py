@@ -4,11 +4,13 @@
   {"metric": "...", "value": <headline sec>, "unit": "sec",
    "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N}
 
-Headline = full validation pipeline (auto-split scan + kernels +
-in-scan violation side-output + sketch partials ‖ concurrent uniqueness
-map-reduce → referential semi-join → sketch merge → verdicts) over a
-deterministic SF-scaled interleaved table (seed=42, no external data),
-mirroring /root/testdata sizing per TESTDATA.md.
+Headline = full validation pipeline (FUSED decode+validate scan — one
+ReadParquet->MapBatches task per file — emitting kernels' verdict
+partials, in-scan violation side-output, sketch partials AND per-batch
+uniqueness counts; one raw-task pass folds the uniqueness map-reduce
+over the scan's own output blocks → referential check → sketch merge →
+verdicts) over a deterministic SF-scaled interleaved table (seed=42, no
+external data), mirroring /root/testdata sizing per TESTDATA.md.
 
 ``--scaling``: runs the plain bench in FRESH processes at num_cpus=8
 and 32 (sandbox proxy for N vs 4N nodes, see BASELINE.md) as >=3

@@ -2,18 +2,25 @@
 
 Physical plan (Ray-Data-first; SURVEY.md §3 target lifecycle):
 
-1. WIDE SCAN (ONE streaming pass): ``read_parquet`` over the pending
-   hive partitions → ``map_batches`` span-validator tasks.  Each task
+1. WIDE SCAN (ONE streaming pass; FUSED with the read when the layout
+   has ≥2 files per CPU — decode + validate in a single task, no
+   object-store materialization of the decoded corpus): ``read_parquet``
+   over the pending hive partitions → span-validator tasks.  Each task
    runs the vectorized span kernels, WRITES its own violation rows into
    the hive-partitioned output (side output; content-derived filenames →
-   task retries overwrite, idempotent), and emits only per-partition
-   count partials + HLL/t-digest partials — the driver never holds a
-   violation row.  (``referential_strategy="hash"`` keeps the violation
-   stream instead, since the semi-join's dangling rows merge in later.)
-2. NARROW SCAN, concurrent: ``read_parquet(columns=[doc_id])`` over ALL
-   partitions (uniqueness is a cross-partition property, also on resume)
-   → per-block ``value_counts`` combiner → explicit hash-bucket
-   map-reduce (stages/shuffle.py — measured 5-7× the sort-based groupby).
+   task retries overwrite, idempotent), and emits per-partition count
+   partials + HLL/t-digest partials + per-batch ``value_counts(doc_id)``
+   uniqueness partials — the driver never holds a violation row.
+   (``referential_strategy="hash"`` keeps the violation stream instead,
+   since the semi-join's dangling rows merge in later.)
+2. UNIQUENESS, folded (fresh full runs): one raw-task pass over the
+   scan's own output blocks splits driver-bound aux rows from
+   hash-bucketed (doc_id, cnt) partials → per-bucket reduce
+   (stages/shuffle.find_duplicate_keys_folded) — ZERO extra dataset
+   executions.  Resume runs (scan skips completed partitions) fall back
+   to the concurrent NARROW SCAN: ``read_parquet(columns=[doc_id])``
+   over ALL partitions → per-block ``value_counts`` combiner → explicit
+   hash-bucket map-reduce (measured 5-7× the sort-based groupby).
 3. SKETCH MERGE: partial HLL / t-digest blobs merge (Ray tree above
    ~2000 partials, driver-side below — stage-launch latency dominates
    small merges).
