@@ -1,0 +1,39 @@
+"""Render the round-5 scaling record (bench_runs/round5_scaling.jsonl)
+as the BASELINE.md table + summary stats.  Read-only."""
+
+import json
+import statistics
+import sys
+
+
+def main() -> int:
+    path = sys.argv[1] if len(sys.argv) > 1 else "bench_runs/round5_scaling.jsonl"
+    rows = [json.loads(l) for l in open(path)]
+    print("| Run | ts (UTC) | pairs (eff) | median | hw probe | normalized | T8 | T32 |")
+    print("|---|---|---|---|---|---|---|---|")
+    meds, norms = [], []
+    for d in rows:
+        r = d["result"]
+        pairs = " / ".join(f"{p['eff']:.3f}" for p in r["pairs"])
+        meds.append(r["scaling_efficiency"])
+        norms.append(r["hw_normalized_efficiency"])
+        print(
+            f"| #{d['run']} | {d['ts'][11:19]} | {pairs} | {r['scaling_efficiency']:.3f} "
+            f"| {r['hw_cycle_speedup_8_to_32']:.2f}x | **{r['hw_normalized_efficiency']:.3f}** "
+            f"| {r['sec_8']:.1f} | {r['sec_32']:.1f} |"
+        )
+    print()
+    print(f"runs: {len(rows)}")
+    print(f"raw median-of-medians: {statistics.median(meds):.3f}")
+    print(f"normalized median:     {statistics.median(norms):.3f}")
+    print(f"best run median (raw): {max(meds):.3f}  best normalized: {max(norms):.3f}")
+    best_pair = max(p["eff"] for d in rows for p in d["result"]["pairs"])
+    print(f"best single pair (raw): {best_pair:.3f}")
+    t32 = min(d["result"]["sec_32"] for d in rows)
+    t8 = min(d["result"]["sec_8"] for d in rows)
+    print(f"floors: T8 {t8:.1f} s / T32 {t32:.1f} s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
