@@ -305,6 +305,7 @@ def run_validation(
         # override_num_blocks); column projection is pushed down.
         ds = read_auto(docs_dir)
         hive_layout = True  # partition_id arrives as a real column
+        fused_scan = False  # Lance fragment planner owns block sizing
     else:
         # FUSED SCAN (default when the layout has ≥2 files per CPU): one
         # read block per file and no map-side batch_size lets Ray Data fuse
