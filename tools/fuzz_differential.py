@@ -299,6 +299,7 @@ def main() -> int:
 
     t0 = time.time()
     tried = skipped = verdicts = ref_approx = 0
+    ref_crash = ref_skip = 0
     mismatches: list[str] = []
     for dialect, Validator in DRAFTS.items():
         doff = {"draft7": 7, "2019-09": 2019, "2020-12": 2020}[dialect]
@@ -322,7 +323,23 @@ def main() -> int:
             for inst in _instances(rng, sch_json):
                 verdicts += 1
                 ours = compiled.is_valid(inst)
-                if ours != ref_v.is_valid(inst):
+                try:
+                    ref = ref_v.is_valid(inst)
+                except Exception:  # noqa: BLE001
+                    # jsonschema's LEGACY 2019-09 unevaluated* path crashes
+                    # on e.g. boolean `items` (len(bool) TypeError in
+                    # find_evaluated_item_indexes_by_schema) — a library
+                    # bug; second-opinion via its modern 2020-12 validator
+                    # on the keyword-translated schema instead
+                    try:
+                        ref = jsonschema.Draft202012Validator(
+                            _to_2020(sch_json)
+                        ).is_valid(inst)
+                        ref_crash += 1
+                    except Exception:  # noqa: BLE001
+                        ref_skip += 1
+                        continue
+                if ours != ref:
                     if _known_ref_approx(dialect, sch_json, inst, ours):
                         ref_approx += 1
                         continue
@@ -336,6 +353,8 @@ def main() -> int:
         "verdicts": verdicts,
         "mismatches": len(mismatches),
         "ref_approx_2019_unevaluated": ref_approx,
+        "ref_crash_modern_second_opinion": ref_crash,
+        "ref_crash_skipped": ref_skip,
         "seed_base": args.seed_base,
         "n_per_dialect": args.n,
         "sec": round(time.time() - t0, 1),
