@@ -402,6 +402,31 @@ def run_scaling(sf_dir: str, profile: str = "default") -> dict:
     hw8 = _cycle_budget(8)
     hw32 = _cycle_budget(32)
     hw_speedup = hw32 / hw8 if hw8 else 4.0
+
+    # in-phase bare-kernel reference: the ACTUAL SpanValidator(regex)
+    # kernel on a resident batch under plain multiprocessing (no Ray, no
+    # parquet) — the ceiling any orchestration of this kernel can reach
+    # in this phase (tools/kernel_scaling_probe.py)
+    kernel = {}
+    try:
+        import importlib.util as _ilu
+
+        _spec = _ilu.spec_from_file_location(
+            "kernel_probe",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tools", "kernel_scaling_probe.py"),
+        )
+        _kp = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_kp)
+        k8 = _kp.measure(8, 4.0, 4096)
+        k32 = _kp.measure(32, 4.0, 4096)
+        kernel = {
+            "kernel_docs_per_sec_8": round(k8, 1),
+            "kernel_docs_per_sec_32": round(k32, 1),
+            "kernel_efficiency": round((k32 / k8) / 4.0, 3) if k8 else None,
+        }
+    except Exception:  # noqa: BLE001 — the probe must never fail the protocol
+        pass
     return {
         "metric": "scaling_efficiency_8_to_32_cpus",
         "profile": profile,
@@ -418,6 +443,7 @@ def run_scaling(sf_dir: str, profile: str = "default") -> dict:
         "hw_normalized_efficiency": round(median_eff * 4.0 / hw_speedup, 3)
         if hw_speedup
         else None,
+        **kernel,
         "sf": sf,
     }
 
