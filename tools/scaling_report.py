@@ -29,6 +29,11 @@ def main() -> int:
     print(f"best run median (raw): {max(meds):.3f}  best normalized: {max(norms):.3f}")
     best_pair = max(p["eff"] for d in rows for p in d["result"]["pairs"])
     print(f"best single pair (raw): {best_pair:.3f}")
+    kerns = [d["result"]["kernel_efficiency"] for d in rows
+             if d["result"].get("kernel_efficiency") is not None]
+    if kerns:
+        print(f"in-phase bare-kernel efficiency: median {statistics.median(kerns):.3f} "
+              f"over {len(kerns)} probed runs (pipeline-vs-kernel gap = orchestration+decode)")
     t32 = min(d["result"]["sec_32"] for d in rows)
     t8 = min(d["result"]["sec_8"] for d in rows)
     print(f"floors: T8 {t8:.1f} s / T32 {t32:.1f} s")
