@@ -1692,6 +1692,9 @@ def q_cumsum_user(sf_dir: str) -> pa.Table:
     )
 
 
+# per-worker cache for q_cumsum_bucketed's broadcast carry table
+_CUMSUM_CARRY_CACHE: dict = {}
+
 # SUM(...) OVER (PARTITION BY user ORDER BY ts, event_id) in exact e4
 # units — shared by the whole-history plan (q_cumsum_user, retired) and
 # the bucketed two-phase plan (q_cumsum_bucketed)
@@ -1761,15 +1764,18 @@ def q_cumsum_bucketed(sf_dir: str) -> pa.Table:
         for u, bk, c in zip(totals["user_id"], totals["bucket"], carry)
     }
     carry_ref = ray.put(lookup)
-    _worker_cache: dict = {}
 
     def within(g: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
-        look = _worker_cache.get("carry")
+        # per-WORKER cache keyed by ObjectRef (a closure dict would be
+        # re-pickled per task, paying the full users×buckets dict unpickle
+        # once per task instead of once per worker process)
+        look = _CUMSUM_CARRY_CACHE.get(carry_ref.hex())
         if look is None:
+            _CUMSUM_CARRY_CACHE.clear()  # one run's carry at a time
             look = ray.get(carry_ref)
-            _worker_cache["carry"] = look
+            _CUMSUM_CARRY_CACHE[carry_ref.hex()] = look
         g = g.sort_values(["ts", "event_id"])
         base = look.get((int(g["user_id"].iloc[0]), int(g["bucket"].iloc[0])), 0)
         return pd.DataFrame(

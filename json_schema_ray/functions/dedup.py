@@ -776,13 +776,10 @@ def dedup_clusters_distributed(
         same O(log diameter) rounds and avoids a checkpoint format)."""
         if fault_marker is None:
             return f
+        from ..state.checkpoint import chaos_kill_once
 
         def g(b: pa.Table) -> pa.Table:
-            try:
-                os.close(os.open(fault_marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-                os._exit(1)
-            except FileExistsError:
-                pass
+            chaos_kill_once(fault_marker)
             return f(b)
 
         return g

@@ -416,21 +416,22 @@ def label_centroids(
             )
         labels = np.asarray(lab_arr)
         if labels.dtype.kind == "f":
-            # a float label column passes the Arrow null check with NaN
-            # payloads, and astype(int64) would silently fold NaN to
-            # INT64_MIN — the garbage centroid group the null guard exists
-            # to prevent.  Accept only NaN-free integral floats.
-            if np.isnan(labels).any():
+            # a float label column passes the Arrow null check with
+            # NaN/inf payloads, and astype(int64) would silently fold
+            # non-finite values to INT64_MIN — the garbage centroid group
+            # the null guard exists to prevent.  Accept only finite
+            # integral floats.
+            if not np.isfinite(labels).all():
                 raise ValueError(
-                    f"label_centroids: column {label_col!r} has NaN labels; "
-                    "filter or fill them upstream"
+                    f"label_centroids: column {label_col!r} has NaN/inf "
+                    "labels; filter or fill them upstream"
                 )
             if not np.array_equal(labels, np.trunc(labels)):
                 raise ValueError(
                     f"label_centroids: column {label_col!r} has non-integer "
                     "float labels; cast to an integer type upstream"
                 )
-        elif labels.dtype.kind not in "iu":
+        elif labels.dtype.kind not in "iub":  # bool = integral 0/1 labels
             raise ValueError(
                 f"label_centroids: column {label_col!r} has non-numeric "
                 f"dtype {labels.dtype}; labels must be integers"

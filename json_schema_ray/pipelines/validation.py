@@ -140,15 +140,12 @@ def _task_validator(
 
     def validate_batch(batch: pa.Table) -> pa.Table:
         if fault_marker is not None:
-            # chaos hook: the FIRST task to get here (atomically, across
-            # all workers) kills its worker process — a real machine-loss
-            # simulation; Ray re-executes the task from lineage and the
+            # chaos hook: the FIRST task to get here kills its worker — a
+            # machine-loss simulation; Ray re-executes from lineage and the
             # idempotent side-output overwrites itself
-            try:
-                os.close(os.open(fault_marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-                os._exit(1)
-            except FileExistsError:
-                pass
+            from ..state.checkpoint import chaos_kill_once
+
+            chaos_kill_once(fault_marker)
         key = (
             catalog_ref.hex() if catalog_ref is not None else None,
             viol_dir, extended, emit_uniq,

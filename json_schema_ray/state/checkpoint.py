@@ -15,6 +15,24 @@ checkpoint manifest carrying lineage + metrics".  Design:
 
 from __future__ import annotations
 
+import os as _os
+
+
+def chaos_kill_once(marker: str | None) -> None:
+    """Shared chaos hook: the FIRST caller to create ``marker`` (O_EXCL —
+    atomic across all workers on one filesystem) kills its worker process
+    with ``os._exit(1)``, simulating a machine loss exactly once; every
+    later caller passes through.  Used by the scan task validator
+    (pipelines/validation) and the cluster-propagation loop
+    (functions/dedup) so the kill-once idiom has one implementation."""
+    if marker is None:
+        return
+    try:
+        _os.close(_os.open(marker, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY))
+        _os._exit(1)
+    except FileExistsError:
+        pass
+
 import hashlib
 import json
 import os

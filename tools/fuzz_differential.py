@@ -321,7 +321,6 @@ def main() -> int:
                 else sch_json
             )
             for inst in _instances(rng, sch_json):
-                verdicts += 1
                 ours = compiled.is_valid(inst)
                 try:
                     ref = ref_v.is_valid(inst)
@@ -339,6 +338,7 @@ def main() -> int:
                     except Exception:  # noqa: BLE001
                         ref_skip += 1
                         continue
+                verdicts += 1  # counted only when a comparison happened
                 if ours != ref:
                     if _known_ref_approx(dialect, sch_json, inst, ours):
                         ref_approx += 1

@@ -44,6 +44,12 @@ def _worker(q, secs: float, batch_rows: int, seed: int) -> None:
 
 
 def measure(nproc: int, secs: float, batch_rows: int) -> float:
+    """Aggregate docs/s over ``nproc`` workers.  Bounded waits throughout:
+    a worker that dies before q.put (OOM kill, post-fork deadlock) is
+    skipped rather than hanging the caller — run_scaling embeds this
+    probe and must never freeze on it."""
+    import queue as _queue
+
     q = mp.Queue()
     ps = [
         mp.Process(target=_worker, args=(q, secs, batch_rows, 100 + i))
@@ -51,9 +57,17 @@ def measure(nproc: int, secs: float, batch_rows: int) -> float:
     ]
     for p in ps:
         p.start()
-    rates = [q.get() for _ in ps]
+    deadline = time.monotonic() + secs * 4 + 30
+    rates = []
+    for _ in ps:
+        try:
+            rates.append(q.get(timeout=max(1.0, deadline - time.monotonic())))
+        except _queue.Empty:
+            break  # a worker died silently; count what reported
     for p in ps:
-        p.join()
+        p.join(timeout=5)
+        if p.is_alive():
+            p.terminate()
     return sum(rates)
 
 
