@@ -322,6 +322,7 @@ def run_validation(
         fused_scan = (env != "0") if env is not None else (
             len(all_files) >= 2 * n_cpus
         )
+        timings["fused_scan"] = float(fused_scan)  # plan flag (tested)
         if fused_scan:
             nblocks = len(all_files)
             batch_size = None  # any batch_size would re-split the stages

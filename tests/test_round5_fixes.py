@@ -230,3 +230,38 @@ def test_content_vocabulary_fuzz_session():
     res = _json.loads(out.stdout.strip().splitlines()[-1])
     assert res["mismatches"] == 0
     assert res["verdicts"] > 10_000
+
+
+def test_fused_scan_plan_engages_and_matches_split_plan(ray_session, tmp_path, monkeypatch):
+    """The fused decode+validate plan (default when files >= 2x CPUs; the
+    CI session runs 4 CPUs so an 8-part corpus crosses the threshold)
+    produces verdicts identical to the auto-split plan, and the folded
+    uniqueness rides both.  The pytest corpora elsewhere use 4 parts and
+    never cross the threshold — this test is the fused path's CI gate."""
+    from json_schema_ray.pipelines.validation import run_validation
+    from json_schema_ray.sources.interleaved import generate, write_dataset
+
+    root = str(tmp_path / "data")
+    write_dataset(root, generate(n_docs=800, seed=13, n_parts=8))
+
+    def run(force: str | None, out: str):
+        if force is None:
+            monkeypatch.delenv("JSR_FUSED_SCAN", raising=False)
+        else:
+            monkeypatch.setenv("JSR_FUSED_SCAN", force)
+        return run_validation(
+            os.path.join(root, "documents"),
+            catalog_path=os.path.join(root, "media_catalog.parquet"),
+            out_dir=str(tmp_path / out),
+            resume=False,
+        )
+
+    fused = run(None, "out_fused")   # 8 files >= 2*4 CPUs -> fused by default
+    split = run("0", "out_split")    # forced auto-split
+    assert fused.timings["fused_scan"] == 1.0
+    assert split.timings["fused_scan"] == 0.0
+    monkeypatch.delenv("JSR_FUSED_SCAN", raising=False)
+    a = fused.verdicts.to_pandas().sort_values("partition_id").reset_index(drop=True)
+    b = split.verdicts.to_pandas().sort_values("partition_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert fused.n_violations == split.n_violations
