@@ -99,7 +99,14 @@ def heavy_hitters(ds, col: str, *, min_frac: float, total: int | None = None) ->
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
-def stratified_sample(ds, *, group_col: str, id_col: str, frac: float):
+def stratified_sample(
+    ds,
+    *,
+    group_col: str,
+    id_col: str,
+    frac: float,
+    prefilter_threshold_rows: int = 5_000_000,
+):
     """Deterministic per-group sample: exactly ``ceil(frac * n_g)`` rows
     of each ``group_col`` group, chosen as the quota-smallest
     ``knuth_hash(id)`` values (ties broken by id — the hash is injective
@@ -114,22 +121,51 @@ def stratified_sample(ds, *, group_col: str, id_col: str, frac: float):
     columns use the hash-split assignment (``q_train_split`` shape)
     instead — exact per-group quotas at that cardinality would need the
     quota map as a joined side, not a broadcast."""
-    from ray.data.aggregate import Count
-
     # quota pass reads ONLY the stratum column (projection pushed into the
-    # scan) — the id column is first touched by the select pass below
+    # scan) and counts via a per-batch combiner + driver sum — a stratum
+    # column is driver-small by contract, so the n_groups×n_blocks partial
+    # rows are trivial and the sort-based groupby exchange is pure waste
+    # (measured ~0.4 s of the query's wall at the 32-CPU bench profile)
+    def _vc(b: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(b.select([group_col]), group_col).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns([group_col, "n"])
+
     counts = (
         ds.select_columns([group_col])
-        .groupby(group_col)
-        .aggregate(Count(alias_name="n"))
+        .map_batches(_vc, batch_format="pyarrow")
         .to_pandas()
+        .groupby(group_col)["n"]
+        .sum()
     )
-    quotas = {
-        g: int(math.ceil(frac * int(n)))
-        for g, n in zip(counts[group_col], counts["n"])
-    }
+    quotas = {g: int(math.ceil(frac * int(n))) for g, n in counts.items()}
 
-    def partial_select(batch: pa.Table) -> pa.Table:
+    # SIZE-AWARE select plan (the join_auto pattern): above
+    # ``prefilter_threshold_rows`` the select exchange uses an EXACT
+    # hash-threshold prefilter; below it, the one-execution quota-cap plan
+    # wins — the prefilter's extra candidate materialization + verify pass
+    # cost more fixed latency than a small exchange saves (measured
+    # 2.2 s → 3.6 s at 600k rows/32 CPUs), while at scale shuffling 100 %
+    # of the input to keep frac of it is the real cost.
+    use_prefilter = sum(counts) > prefilter_threshold_rows
+
+    # EXACT hash-threshold prefilter: the quota-th smallest of n_g uniform
+    # 64-bit hashes concentrates at (q_g/n_g)·2^64; keeping only
+    # h ≤ frac·(1+slack)·2^64 shrinks the select exchange from ~ALL rows
+    # (the per-batch quota cap never binds when quota > rows-per-batch,
+    # i.e. whenever frac ≳ 1/n_blocks) to ≈ frac·(1+slack) of the input.
+    # Exactness is VERIFIED, not assumed: groups whose captured candidate
+    # count falls below quota (Chernoff-rare; slack = 6/√q) re-run through
+    # the unfiltered cap path, so the result is always the true quota-
+    # smallest set.  Tiny groups (quota < 64) skip the prefilter — their
+    # rows are negligible and their threshold concentration is weak.
+    thr = np.uint64(min(1.0, frac + 6.0 * math.sqrt(frac) / math.sqrt(
+        max(64, min((q for q in quotas.values() if q >= 64), default=64))
+    )) * float(np.iinfo(np.uint64).max))
+    small_groups = {g for g, q in quotas.items() if q < 64}
+
+    def partial_select(batch: pa.Table, _only: frozenset | None = None) -> pa.Table:
         h = knuth_hash(batch[id_col])
         t = pa.table(
             {
@@ -141,12 +177,18 @@ def stratified_sample(ds, *, group_col: str, id_col: str, frac: float):
         out_parts = []
         grp = batch[group_col].to_numpy(zero_copy_only=False)
         for g in np.unique(grp):
-            q = quotas.get(g if not isinstance(g, bytes) else g.decode(), 0)
+            key = g if not isinstance(g, bytes) else g.decode()
+            if _only is not None and key not in _only:
+                continue
+            q = quotas.get(key, 0)
             if q <= 0:
                 continue
             m = grp == g
             idx = np.nonzero(m)[0]
             hh = h[idx]
+            if use_prefilter and _only is None and key not in small_groups:
+                keep = hh <= thr  # exactness verified below
+                idx, hh = idx[keep], hh[keep]
             if len(idx) > q:
                 sel = np.argsort(hh, kind="stable")[:q]
                 idx = idx[sel]
@@ -161,11 +203,38 @@ def stratified_sample(ds, *, group_col: str, id_col: str, frac: float):
         t = g.sort_by([("__h__", "ascending"), (id_col, "ascending")])
         return t.slice(0, q).select([group_col, id_col])
 
-    return (
-        ds.map_batches(partial_select, batch_format="pyarrow")
-        .groupby(group_col)
-        .map_groups(final_select, batch_format="pyarrow")
+    if not use_prefilter:
+        # one-execution plan: per-batch quota cap → per-group final select
+        return (
+            ds.map_batches(partial_select, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(final_select, batch_format="pyarrow")
+        )
+
+    cand = ds.map_batches(partial_select, batch_format="pyarrow").materialize()
+    # verify the prefilter captured every quota (exact-or-retry)
+    got = (
+        cand.select_columns([group_col])
+        .map_batches(_vc, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(group_col)["n"]
+        .sum()
     )
+    short = frozenset(
+        g for g, q in quotas.items() if int(got.get(g, 0)) < q and g not in small_groups
+    )
+    if short:  # Chernoff-rare: re-run the shorted groups without the filter
+        extra = ds.map_batches(
+            lambda b, _o=short: partial_select(b, _only=_o), batch_format="pyarrow"
+        )
+        keep_ok = cand.map_batches(
+            lambda b, _o=short: b.filter(
+                pa.array(~np.isin(b[group_col].to_numpy(zero_copy_only=False), list(_o)))
+            ),
+            batch_format="pyarrow",
+        )
+        cand = keep_ok.union(extra)
+    return cand.groupby(group_col).map_groups(final_select, batch_format="pyarrow")
 
 
 def exact_group_rank_select(
@@ -220,8 +289,47 @@ def exact_group_rank_select(
          ("kind", pa.int64()), ("num", pa.int64())]
     )
 
-    counts_df = ds.groupby(group_col).aggregate(Count(alias_name="n")).to_pandas()
-    counts = {g: int(n) for g, n in zip(counts_df[group_col], counts_df["n"])}
+    # ONE pass produces both the exact per-group counts (kind 0: per-batch
+    # count partials) and the deterministic row sample (kind 1: sampled
+    # values) — fused so the input is read once for steps 0+1 instead of
+    # twice (each dataset execution re-reads the source; measured ~0.3-0.5 s
+    # of pure fixed cost per execution at the 32-CPU bench profile).
+    # ``sample_mod`` must be chosen before the counts exist, so it falls
+    # back to a fixed default; callers with wildly skewed group counts can
+    # still pass it explicitly.
+    if sample_mod is None:
+        sample_mod = 16
+
+    def count_and_sample(b: pa.Table) -> pa.Table:
+        cnt = pa.TableGroupBy(b.select([group_col]), group_col).aggregate(
+            [([], "count_all")]
+        )
+        h = pd.util.hash_pandas_object(
+            b[id_col].to_pandas(), index=False
+        ).to_numpy()
+        samp = b.select([group_col, value_col]).filter(
+            pa.array((h % sample_mod) == 0)
+        )
+        return pa.table(
+            {
+                group_col: pa.concat_arrays(
+                    [cnt[group_col].combine_chunks().cast(group_type),
+                     samp[group_col].combine_chunks().cast(group_type)]
+                ),
+                "kind": pa.array(
+                    np.concatenate([np.zeros(len(cnt), np.int64),
+                                    np.ones(len(samp), np.int64)])
+                ),
+                "num": pa.concat_arrays(
+                    [cnt["count_all"].combine_chunks().cast(pa.int64()),
+                     samp[value_col].combine_chunks().cast(pa.int64())]
+                ),
+            }
+        )
+
+    cs = ds.map_batches(count_and_sample, batch_format="pyarrow").to_pandas()
+    counts_df = cs[cs["kind"] == 0].groupby(group_col)["num"].sum()
+    counts = {g: int(n) for g, n in counts_df.items()}
     pending = [
         (g, int(tag), int(r))
         for g, n in counts.items()
@@ -230,24 +338,9 @@ def exact_group_rank_select(
     ]
     if not pending:
         return OUT.empty_table()
-
-    n_total = sum(counts.values())
-    if sample_mod is None:
-        # target ≈ 4000 sample rows per group: bracket width stays O(√s)
-        sample_mod = max(16, n_total // max(1, 4000 * len(counts)))
-
-    def sample_batch(b: pa.Table) -> pa.Table:
-        h = pd.util.hash_pandas_object(
-            b[id_col].to_pandas(), index=False
-        ).to_numpy()
-        return b.select([group_col, value_col]).filter(
-            pa.array((h % sample_mod) == 0)
-        )
-
-    sample = ds.map_batches(sample_batch, batch_format="pyarrow").to_pandas()
     samples = {
-        g: np.sort(v[value_col].to_numpy().astype(np.int64))
-        for g, v in sample.groupby(group_col)
+        g: np.sort(v["num"].to_numpy().astype(np.int64))
+        for g, v in cs[cs["kind"] == 1].groupby(group_col)
     }
 
     I64_LO, I64_HI = np.iinfo(np.int64).min, np.iinfo(np.int64).max

@@ -265,3 +265,47 @@ def test_fused_scan_plan_engages_and_matches_split_plan(ray_session, tmp_path, m
     b = split.verdicts.to_pandas().sort_values("partition_id").reset_index(drop=True)
     assert a.equals(b)
     assert fused.n_violations == split.n_violations
+
+
+def test_stratified_sample_threshold_retry_path(ray_session):
+    """The hash-threshold prefilter is exact-or-retry: a group whose ids
+    are ADVERSARIALLY chosen so every hash exceeds the threshold (the
+    Chernoff-rare miss, forced here) must still yield its exact quota via
+    the unfiltered re-run, and results must equal the brute-force
+    quota-smallest-hash answer."""
+    import math
+
+    import ray.data as rd
+
+    from json_schema_ray.functions.profile import KNUTH, knuth_hash, stratified_sample
+
+    frac = 0.5
+    # pick 200 ids whose knuth hash lands in the TOP of uint64 space —
+    # far above any plausible threshold for frac=0.5
+    hi = []
+    i = 0
+    while len(hi) < 200:
+        if int(np.uint64(i) * KNUTH) > int(0.999 * 2**64):
+            hi.append(i)
+        i += 1
+    # a normal group alongside (quota >= 64 so the prefilter applies)
+    normal = list(range(10_000, 10_400))
+    t = pa.table(
+        {
+            "src": pa.array(["adv"] * len(hi) + ["ok"] * len(normal)),
+            "doc_id": pa.array(hi + normal, type=pa.int64()),
+        }
+    )
+    out = (
+        stratified_sample(rd.from_arrow(t), group_col="src", id_col="doc_id",
+                          frac=frac, prefilter_threshold_rows=0)  # force the prefilter plan
+        .to_pandas()
+        .sort_values(["src", "doc_id"])
+        .reset_index(drop=True)
+    )
+    for grp, ids in (("adv", hi), ("ok", normal)):
+        q = math.ceil(frac * len(ids))
+        got = sorted(out[out["src"] == grp]["doc_id"])
+        h = knuth_hash(pa.array(ids, type=pa.int64()))
+        want = sorted(np.array(ids)[np.argsort(h, kind="stable")[:q]].tolist())
+        assert got == want, grp
